@@ -1,0 +1,469 @@
+package graft.codec
+
+import scala.collection.mutable
+
+/** Self-describing lightweight compression codecs over `Array[Int]`.
+  *
+  * Payload layout: `[codecId:1B][codec-specific body]`. Every format is
+  * self-delimiting, so codecs nest (DICT/FSST embed an inner code-stream
+  * payload) and a sequential `ByteReader` decodes without length prefixes.
+  *
+  * The five codec families required by the north rule (BASELINE.json:14):
+  * dictionary, RLE, FSST-style symbol tables, bit-packing, frame-of-reference
+  * (+ delta variant), plus a PLAIN fallback. Auto-selection is trial-based:
+  * every applicable codec encodes and the smallest payload wins, so the
+  * selector is exact by construction (FIXTURES.md §4's
+  * `size(selected) <= min(size(others))` property holds trivially) and the
+  * decision is recorded per block in the table manifest.
+  */
+object IntBlocks {
+
+  val PLAIN = 0
+  val BITPACK = 1
+  val FOR = 2
+  val DELTA_FOR = 3
+  val RLE = 4
+  val DICT = 5
+  val FSST = 6
+
+  val names: Map[Int, String] = Map(
+    PLAIN -> "plain", BITPACK -> "bitpack", FOR -> "for", DELTA_FOR -> "delta_for",
+    RLE -> "rle", DICT -> "dict", FSST -> "fsst")
+
+  val idOf: Map[String, Int] = names.map(_.swap)
+
+  /** Distinct-value cap for dictionary building (beyond it DICT/FSST are not
+    * candidates; the generic codecs still apply).
+    */
+  val DictCap = 65536
+
+  /** Minimum block length before the FSST symbol-table build is attempted
+    * (table construction must amortize over the block).
+    */
+  val FsstMinN = 1024
+
+  final case class Choice(id: Int, bytes: Int, candidateSizes: Map[String, Int]) {
+    def name: String = names(id)
+  }
+
+  // ---------------------------------------------------------------- encode
+
+  def encodeWith(id: Int, values: Array[Int]): Array[Byte] = {
+    val w = new ByteWriter(valuesHint(values.length))
+    id match {
+      case PLAIN     => encPlain(values, w)
+      case BITPACK   => encBitpack(values, w)
+      case FOR       => encFor(values, w)
+      case DELTA_FOR => encDeltaFor(values, w)
+      case RLE       => encRle(values, w)
+      case DICT      => encDict(values, w)
+      case FSST      => encFsst(values, w)
+      case other     => throw new IllegalArgumentException(s"unknown codec id $other")
+    }
+    w.result()
+  }
+
+  def encodeAuto(values: Array[Int]): Array[Byte] = encodeAutoChoice(values)._1
+
+  /** Trial-encode all applicable codecs, return the smallest payload and the
+    * full candidate-size map (recorded in manifests as selection evidence).
+    * Deterministic: ties break toward the lower codec id.
+    */
+  def encodeAutoChoice(
+      values: Array[Int],
+      allowDict: Boolean = true,
+      allowFsst: Boolean = true): (Array[Byte], Choice) = {
+    val cands = candidateIds(values, allowDict, allowFsst)
+    var best: Array[Byte] = null
+    var bestId = -1
+    val sizes = mutable.LinkedHashMap.empty[String, Int]
+    cands.foreach { id =>
+      val enc = encodeWith(id, values)
+      sizes(names(id)) = enc.length
+      if (best == null || enc.length < best.length) { best = enc; bestId = id }
+    }
+    (best, Choice(bestId, best.length, sizes.toMap))
+  }
+
+  private def candidateIds(values: Array[Int], allowDict: Boolean, allowFsst: Boolean): Seq[Int] = {
+    val n = values.length
+    if (n == 0) return Seq(PLAIN)
+    var min = Int.MaxValue
+    var max = Int.MinValue
+    var i = 0
+    while (i < n) {
+      val v = values(i)
+      if (v < min) min = v
+      if (v > max) max = v
+      i += 1
+    }
+    var distinctOk = false
+    var d = 0
+    if (allowDict || allowFsst) {
+      val set = new java.util.HashSet[Integer](math.min(n, DictCap) * 2)
+      i = 0
+      var over = false
+      while (i < n && !over) {
+        set.add(values(i))
+        if (set.size > DictCap) over = true
+        i += 1
+      }
+      distinctOk = !over
+      d = set.size
+    }
+    val b = Seq.newBuilder[Int]
+    b += PLAIN
+    if (min >= 0) b += BITPACK
+    b += FOR
+    b += DELTA_FOR
+    b += RLE
+    if (allowDict && distinctOk && d < n) b += DICT
+    if (allowFsst && distinctOk && n >= FsstMinN) b += FSST
+    b.result()
+  }
+
+  private def valuesHint(n: Int): Int = math.max(16, n / 2)
+
+  // PLAIN: [id][vlen n][n * int32 LE]
+  private def encPlain(values: Array[Int], w: ByteWriter): Unit = {
+    w.putByte(PLAIN); w.putVarInt(values.length)
+    var i = 0
+    while (i < values.length) { w.putIntLE(values(i)); i += 1 }
+  }
+
+  // BITPACK (min >= 0): [id][vlen n][width:1B][packed]
+  private def encBitpack(values: Array[Int], w: ByteWriter): Unit = {
+    val n = values.length
+    var max = 0L
+    var i = 0
+    while (i < n) { if (values(i) > max) max = values(i); if (values(i) < 0) throw new IllegalArgumentException("BITPACK requires non-negative values"); i += 1 }
+    val width = BitPack.bits(max)
+    w.putByte(BITPACK); w.putVarInt(n); w.putByte(width)
+    BitPack.packInts(values, n, width, 0L, w)
+  }
+
+  // FOR: [id][vlen n][zz ref][width:1B][packed (v-ref)]
+  private def encFor(values: Array[Int], w: ByteWriter): Unit = {
+    val n = values.length
+    w.putByte(FOR); w.putVarInt(n)
+    if (n == 0) return
+    var min = Int.MaxValue; var max = Int.MinValue
+    var i = 0
+    while (i < n) { val v = values(i); if (v < min) min = v; if (v > max) max = v; i += 1 }
+    val width = BitPack.bits(max.toLong - min.toLong)
+    w.putZigZagInt(min); w.putByte(width)
+    BitPack.packInts(values, n, width, min.toLong, w)
+  }
+
+  // DELTA_FOR: [id][vlen n][zz first][zz minDelta][width:1B][packed (delta-minDelta) * (n-1)]
+  private def encDeltaFor(values: Array[Int], w: ByteWriter): Unit = {
+    val n = values.length
+    w.putByte(DELTA_FOR); w.putVarInt(n)
+    if (n == 0) return
+    w.putZigZagInt(values(0))
+    if (n == 1) return
+    val deltas = new Array[Long](n - 1)
+    var minD = Long.MaxValue; var maxD = Long.MinValue
+    var i = 1
+    while (i < n) {
+      val d = values(i).toLong - values(i - 1).toLong
+      deltas(i - 1) = d
+      if (d < minD) minD = d
+      if (d > maxD) maxD = d
+      i += 1
+    }
+    val width = BitPack.bits(maxD - minD)
+    w.putZigZagLong(minD); w.putByte(width)
+    i = 0
+    while (i < n - 1) { deltas(i) -= minD; i += 1 }
+    BitPack.pack(deltas, n - 1, width, w)
+  }
+
+  // RLE: [id][vlen n][runs: (zz value, vlen len)*]
+  private def encRle(values: Array[Int], w: ByteWriter): Unit = {
+    val n = values.length
+    w.putByte(RLE); w.putVarInt(n)
+    var i = 0
+    while (i < n) {
+      val v = values(i)
+      var j = i + 1
+      while (j < n && values(j) == v) j += 1
+      w.putZigZagInt(v); w.putVarInt(j - i)
+      i = j
+    }
+  }
+
+  /** Sorted strictly-increasing dictionary section: [vlen D][zz d0][vlen diff]* */
+  private def writeDict(dict: Array[Int], w: ByteWriter): Unit = {
+    w.putVarInt(dict.length)
+    var i = 0
+    while (i < dict.length) {
+      if (i == 0) w.putZigZagInt(dict(0))
+      else w.putVarLong(dict(i).toLong - dict(i - 1).toLong) // sorted => diff >= 1
+      i += 1
+    }
+  }
+
+  private def readDict(in: ByteReader): Array[Int] = {
+    val d = in.getVarInt()
+    val dict = new Array[Int](d)
+    var i = 0
+    while (i < d) {
+      if (i == 0) dict(0) = in.getZigZagInt()
+      else dict(i) = (dict(i - 1).toLong + in.getVarLong()).toInt
+      i += 1
+    }
+    dict
+  }
+
+  private def sortedDistinct(values: Array[Int]): Array[Int] = {
+    val set = new java.util.HashSet[Integer](math.min(values.length, DictCap) * 2)
+    var i = 0
+    while (i < values.length) { set.add(values(i)); i += 1 }
+    val dict = new Array[Int](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { dict(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(dict)
+    dict
+  }
+
+  private def toDictIds(values: Array[Int], dict: Array[Int]): Array[Int] = {
+    val idx = new java.util.HashMap[Integer, Integer](dict.length * 2)
+    var i = 0
+    while (i < dict.length) { idx.put(dict(i), i); i += 1 }
+    val ids = new Array[Int](values.length)
+    i = 0
+    while (i < values.length) { ids(i) = idx.get(values(i)); i += 1 }
+    ids
+  }
+
+  // DICT: [id][vlen n][dict][nested payload of dict ids]
+  // Cascade (SURVEY.md E9): the id stream is itself auto-encoded
+  // (bitpack / RLE / FOR / delta — whichever is smallest).
+  private def encDict(values: Array[Int], w: ByteWriter): Unit = {
+    val n = values.length
+    w.putByte(DICT); w.putVarInt(n)
+    val dict = sortedDistinct(values)
+    writeDict(dict, w)
+    val ids = toDictIds(values, dict)
+    w.putBytes(encodeAutoChoice(ids, allowDict = false, allowFsst = false)._1)
+  }
+
+  // ------------------------------------------------------------------ FSST
+  //
+  // FSST-style symbol table adapted from byte-strings to int tokens: the
+  // extended alphabet is [0, D) literal dictionary codes plus up to 256
+  // pair-symbols built BPE-style over 3 rounds (so symbols expand to token
+  // n-grams of length 2..8, per the north star's "repeated n-gram token
+  // runs"). Deterministic: candidate pairs sort by (-count, left, right).
+  //
+  // Body: [id][vlen n][dict][vlen S][(vlen left, vlen right) * S]
+  //       [vlen m][width:1B][packed m codes]
+  private val FsstRounds = 3
+  private val FsstMaxSymbols = 256
+  private val FsstMinPairCount = 8
+
+  private def encFsst(values: Array[Int], w: ByteWriter): Unit = {
+    val n = values.length
+    w.putByte(FSST); w.putVarInt(n)
+    val dict = sortedDistinct(values)
+    writeDict(dict, w)
+    var stream = toDictIds(values, dict)
+    val d = dict.length
+    var nextCode = d
+    val symbols = mutable.ArrayBuffer.empty[(Int, Int)]
+
+    var round = 0
+    var changed = true
+    while (round < FsstRounds && changed && symbols.size < FsstMaxSymbols) {
+      changed = false
+      // count adjacent pairs over the current symbol stream
+      val counts = new java.util.HashMap[Long, Int]()
+      var i = 0
+      while (i + 1 < stream.length) {
+        val key = (stream(i).toLong << 32) | (stream(i + 1).toLong & 0xFFFFFFFFL)
+        val c = counts.get(key)
+        counts.put(key, c + 1)
+        i += 1
+      }
+      val cands = mutable.ArrayBuffer.empty[(Int, Int, Int)] // (count, left, right)
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue >= FsstMinPairCount) {
+          val k = e.getKey
+          cands += ((e.getValue, (k >> 32).toInt, (k & 0xFFFFFFFFL).toInt))
+        }
+      }
+      val picked = cands.sortBy { case (c, l, r) => (-c, l, r) }
+        .take(FsstMaxSymbols - symbols.size)
+      if (picked.nonEmpty) {
+        changed = true
+        val pairMap = new java.util.HashMap[Long, Int]()
+        picked.foreach { case (_, l, r) =>
+          pairMap.put((l.toLong << 32) | (r.toLong & 0xFFFFFFFFL), nextCode)
+          symbols += ((l, r))
+          nextCode += 1
+        }
+        // greedy left-to-right non-overlapping replacement
+        val out = new Array[Int](stream.length)
+        var oi = 0
+        i = 0
+        while (i < stream.length) {
+          if (i + 1 < stream.length) {
+            val key = (stream(i).toLong << 32) | (stream(i + 1).toLong & 0xFFFFFFFFL)
+            val code = pairMap.getOrDefault(key, -1)
+            if (code >= 0) { out(oi) = code; oi += 1; i += 2 }
+            else { out(oi) = stream(i); oi += 1; i += 1 }
+          } else { out(oi) = stream(i); oi += 1; i += 1 }
+        }
+        stream = java.util.Arrays.copyOf(out, oi)
+      }
+      round += 1
+    }
+
+    w.putVarInt(symbols.length)
+    symbols.foreach { case (l, r) => w.putVarInt(l); w.putVarInt(r) }
+    val m = stream.length
+    val width = BitPack.bits(math.max(0, nextCode - 1).toLong)
+    w.putVarInt(m); w.putByte(width)
+    BitPack.packInts(stream, m, width, 0L, w)
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  def decode(bytes: Array[Byte]): Array[Int] = decodeReader(new ByteReader(bytes))
+
+  def decodeReader(in: ByteReader): Array[Int] = {
+    val id = in.getByte()
+    id match {
+      case PLAIN =>
+        val n = in.getVarInt()
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) { out(i) = in.getIntLE(); i += 1 }
+        out
+
+      case BITPACK =>
+        val n = in.getVarInt()
+        val width = in.getByte()
+        val packed = BitPack.unpack(in, n, width)
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) { out(i) = packed(i).toInt; i += 1 }
+        out
+
+      case FOR =>
+        val n = in.getVarInt()
+        if (n == 0) return new Array[Int](0)
+        val ref = in.getZigZagInt()
+        val width = in.getByte()
+        val packed = BitPack.unpack(in, n, width)
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) { out(i) = (packed(i) + ref).toInt; i += 1 }
+        out
+
+      case DELTA_FOR =>
+        val n = in.getVarInt()
+        if (n == 0) return new Array[Int](0)
+        val out = new Array[Int](n)
+        out(0) = in.getZigZagInt()
+        if (n == 1) return out
+        val minD = in.getZigZagLong()
+        val width = in.getByte()
+        val packed = BitPack.unpack(in, n - 1, width)
+        var i = 1
+        while (i < n) { out(i) = (out(i - 1).toLong + packed(i - 1) + minD).toInt; i += 1 }
+        out
+
+      case RLE =>
+        val n = in.getVarInt()
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val v = in.getZigZagInt()
+          val len = in.getVarInt()
+          java.util.Arrays.fill(out, i, i + len, v)
+          i += len
+        }
+        out
+
+      case DICT =>
+        val n = in.getVarInt()
+        val dict = readDict(in)
+        val ids = decodeReader(in)
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) { out(i) = dict(ids(i)); i += 1 }
+        out
+
+      case FSST =>
+        val n = in.getVarInt()
+        val dict = readDict(in)
+        val d = dict.length
+        val s = in.getVarInt()
+        val lefts = new Array[Int](s)
+        val rights = new Array[Int](s)
+        var i = 0
+        while (i < s) { lefts(i) = in.getVarInt(); rights(i) = in.getVarInt(); i += 1 }
+        // expansions built in code order (pairs only reference earlier codes)
+        val exp = new Array[Array[Int]](s)
+        i = 0
+        while (i < s) {
+          val l = lefts(i); val r = rights(i)
+          val le = if (l < d) Array(dict(l)) else exp(l - d)
+          val re = if (r < d) Array(dict(r)) else exp(r - d)
+          val e = new Array[Int](le.length + re.length)
+          System.arraycopy(le, 0, e, 0, le.length)
+          System.arraycopy(re, 0, e, le.length, re.length)
+          exp(i) = e
+          i += 1
+        }
+        val m = in.getVarInt()
+        val width = in.getByte()
+        val codes = BitPack.unpack(in, m, width)
+        val out = new Array[Int](n)
+        var oi = 0
+        i = 0
+        while (i < m) {
+          val c = codes(i).toInt
+          if (c < d) { out(oi) = dict(c); oi += 1 }
+          else {
+            val e = exp(c - d)
+            System.arraycopy(e, 0, out, oi, e.length)
+            oi += e.length
+          }
+          i += 1
+        }
+        out
+
+      case other => throw new IllegalArgumentException(s"unknown codec id $other")
+    }
+  }
+
+  /** Byte range of the dictionary / symbol-table section for manifest
+    * hashing ("dict/symbol-table hash", BASELINE.json:6). For codecs without
+    * one, the whole payload is the hashed section.
+    */
+  def dictSectionHash(bytes: Array[Byte]): String = {
+    val in = new ByteReader(bytes)
+    val id = in.getByte()
+    id match {
+      case DICT | FSST =>
+        in.getVarInt() // n
+        val start = in.pos
+        readDict(in)
+        var end = in.pos
+        if (id == FSST) {
+          val s = in.getVarInt()
+          var i = 0
+          while (i < s) { in.getVarInt(); in.getVarInt(); i += 1 }
+          end = in.pos
+        }
+        Hashing.sha256Hex(bytes, start, end - start)
+      case _ => Hashing.sha256Hex(bytes)
+    }
+  }
+}
