@@ -64,6 +64,44 @@ object CodecProbe {
       s"source documents.parquet=$parquetBytes B")
     println("dict hashes: tokens=" + IntBlocks.dictSectionHash(tokEnc).take(16) +
       " source=" + StrBlocks.dictSectionHash(srcEnc).take(16))
+
+    // --- Catalyst expression path: the same columns through spark.sql ---
+    graft.functions.register(spark)
+    import org.apache.spark.sql.functions.{col, element_at, size, split, transform, typedLit}
+    val vocabMap = typedLit(tid)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").cast("string").as("doc_id"),
+        transform(split(col("text"), " "), w => element_at(vocabMap, w)).as("tokens"),
+        col("source"))
+      .withColumn("n_tok", size(col("tokens")))
+      .createOrReplaceTempView("token_table")
+    spark.sql(
+      """SELECT count(*) AS docs,
+        |       sum(n_tok) AS tokens,
+        |       sum(CASE WHEN graft_decode(graft_encode(tokens)) <=> tokens THEN 0 ELSE 1 END) AS auto_mismatch,
+        |       sum(CASE WHEN graft_decode(graft_encode(tokens, 'rle')) <=> tokens THEN 0 ELSE 1 END) AS rle_mismatch,
+        |       sum(octet_length(graft_encode(tokens))) AS auto_bytes,
+        |       sum(octet_length(graft_encode(tokens, 'bitpack'))) AS bitpack_bytes
+        |FROM token_table""".stripMargin).show(false)
+
+    if (args.contains("--probe-errors")) {
+      def probe(label: String)(f: => Unit): Unit =
+        try { f; println(s"PROBE $label: NO ERROR (unexpected)") }
+        catch { case e: Throwable =>
+          val root = Option(e.getCause).getOrElse(e)
+          println(s"PROBE $label: ${root.getClass.getSimpleName}: ${root.getMessage.linesIterator.next()}")
+        }
+      probe("encode-wrong-type") {
+        spark.sql("SELECT graft_encode(source) FROM token_table").collect()
+      }
+      probe("decode-corrupt-payload") {
+        spark.sql("SELECT graft_decode(cast('garbage!' as binary)) ").collect()
+      }
+      probe("unknown-codec-name") {
+        spark.sql("SELECT graft_encode(tokens, 'lz77') FROM token_table").collect()
+      }
+    }
     spark.stop()
   }
 }

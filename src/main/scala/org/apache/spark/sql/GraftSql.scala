@@ -1,0 +1,41 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Package-facade to reach Spark 4's package-private Column <-> Expression
+  * bridge (`classic.ExpressionUtils`) and the session function registry.
+  * Same access pattern as the public Qbeast/Pathling facades
+  * (SNIPPETS.md:70-95); no Spark internals are modified.
+  */
+object GraftSql {
+
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register graft codec expressions as SQL functions so `selectExpr` /
+    * `spark.sql` can call them: graft_encode(arr[, 'codec']),
+    * graft_decode(bin), graft_decode_str(bin), graft_reslice(flat, lens).
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+
+    reg.createOrReplaceTempFunction("graft_encode", exprs => exprs match {
+      case Seq(arr)        => graft.expr.GraftEncode(arr)
+      case Seq(arr, codec) =>
+        val name = codec.eval(null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(s"codec name must be a string literal, got $other")
+        }
+        graft.expr.GraftEncode(arr, Some(name))
+      case _ => throw new IllegalArgumentException("graft_encode(arr[, codec])")
+    }, "built-in")
+
+    reg.createOrReplaceTempFunction("graft_decode",
+      exprs => graft.expr.GraftDecode(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_decode_str",
+      exprs => graft.expr.GraftDecodeStr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_reslice",
+      exprs => graft.expr.GraftReslice(exprs(0), exprs(1)), "built-in")
+  }
+}
