@@ -19,6 +19,28 @@ object functions {
   def graft_encode(c: Column, codec: String): Column =
     GraftSql.column(expr.GraftEncode(GraftSql.expression(c), Some(codec)))
 
+  /** Auto-encode with the trial set gated by sampled column stats
+    * (SURVEY.md E6–E7): skip dict/FSST trials when cardinality rules them out.
+    */
+  def graft_encode_gated(c: Column, allowDict: Boolean, allowFsst: Boolean): Column =
+    GraftSql.column(expr.GraftEncode(GraftSql.expression(c), None, allowDict, allowFsst))
+
+  /** Encode an `array<string>` column (doc_id / source blocks). */
+  def graft_encode_str(c: Column): Column =
+    GraftSql.column(expr.GraftEncodeStr(GraftSql.expression(c)))
+
+  /** Codec family name of a payload (manifest column). */
+  def graft_codec(c: Column): Column =
+    GraftSql.column(expr.GraftCodecName(GraftSql.expression(c)))
+
+  /** sha256 hex of a payload's dict/symbol-table section (manifest column). */
+  def graft_dict_hash(c: Column): Column =
+    GraftSql.column(expr.GraftDictHash(GraftSql.expression(c)))
+
+  /** Range-block id for a bigint key against sorted exclusive upper bounds. */
+  def graft_range_bucket(key: Column, bounds: IndexedSeq[Long]): Column =
+    GraftSql.column(expr.RangeBucket(GraftSql.expression(key), bounds))
+
   /** Decode a graft payload back to `array<int>` (bit-identical). */
   def graft_decode(c: Column): Column =
     GraftSql.column(expr.GraftDecode(GraftSql.expression(c)))

@@ -1,0 +1,414 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.codec.Hashing
+import graft.functions._
+
+/** Iceberg-shaped encoded token table (SURVEY.md §1.2, E4–E5, E13–E16).
+  *
+  * No Iceberg runtime jar exists in this sandbox, so the engine implements
+  * the same metadata-tree semantics directly: snapshot-versioned JSON table
+  * metadata → per-version manifests (one JSON row per encoded block: codec
+  * ids, dict/symbol-table sha256, row/token counts, byte sizes) → Parquet
+  * data files of per-column codec payloads. Every metadata file is written
+  * through the Hadoop FileSystem API, so the layout works unchanged on
+  * HDFS/S3A under a real cluster manager.
+  *
+  * Layout under `tableDir`:
+  * {{{
+  *   data/v<N>/part-*.parquet     encoded block rows (payload columns)
+  *   manifests/v<N>/part-*.json   manifest entries for blocks encoded in vN
+  *   metadata/v<N>.json           snapshot (bounds, lineage, metrics, stats)
+  *   metadata/current             latest committed version number
+  * }}}
+  *
+  * Scale design (the part that must survive 10^12 rows / 1000 executors):
+  *   - one data shuffle total: hash exchange on `block_id`, whose bounds
+  *     come from sampled quantiles of the doc_id key (range partitioning,
+  *     E13) — block sizes are balanced by construction, and `RangeBucket`
+  *     assigns blocks in O(log B) per row;
+  *   - block assembly is a declarative `groupBy(block_id)` +
+  *     `array_sort(collect_list(...))` + Catalyst codec expressions — no
+  *     RDDs, no driver collect of data rows, map-side codegen throughout;
+  *   - manifests are derived by re-reading the *written* data files
+  *     (column-pruned scan of payload metadata), never by re-running the
+  *     encode lineage;
+  *   - snapshot totals/content-signature aggregate the manifest with
+  *     commutative `bit_xor(xxhash64(...))`, so the driver handles O(1)
+  *     state regardless of block count;
+  *   - resume = anti-join of planned blocks against the parent manifest:
+  *     only missing blocks shuffle and encode (E5).
+  */
+object GraftTable {
+
+  final case class Options(
+      targetRowsPerBlock: Int = 1 << 16,
+      sampleRows: Long = 1L << 20,
+      /** Test/backfill hook: restrict this run to a subset of block ids. */
+      blockFilter: Option[Int => Boolean] = None)
+
+  final case class Snapshot(
+      version: Int,
+      snapshotId: String,
+      parentId: Option[String],
+      inputFingerprint: String,
+      keyStrategy: String,
+      bounds: IndexedSeq[Long],
+      numBlocks: Int,
+      blocksEncoded: Long,
+      complete: Boolean,
+      rowCount: Long,
+      tokenCount: Long,
+      bytesTotal: Long,
+      plainBytes: Long,
+      contentSig: String,
+      dataDirs: Seq[String],
+      manifestDirs: Seq[String],
+      stats: Seq[(String, String)],
+      committedAt: String)
+
+  final case class EncodeResult(
+      version: Int,
+      snapshotId: String,
+      numBlocks: Int,
+      blocksEncodedThisRun: Long,
+      blocksDone: Long,
+      rowCount: Long,
+      tokenCount: Long,
+      bytesTotal: Long,
+      plainBytes: Long,
+      contentSig: String,
+      complete: Boolean) {
+    def compressionVsPlain: Double =
+      if (plainBytes == 0) 1.0 else bytesTotal.toDouble / plainBytes
+  }
+
+  /** Blocking/sort key: numeric doc_id when the string is a canonical
+    * decimal (the input_hint corpus), else a deterministic 64-bit hash —
+    * blocking stays valid, range pruning degrades gracefully.
+    */
+  private val KeyExpr = "coalesce(try_cast(doc_id as bigint), xxhash64(doc_id))"
+  private val KeyStrategy = "numeric_or_xxhash64"
+
+  // ------------------------------------------------------------- encode
+
+  def encode(tokens: DataFrame, tableDir: String, opts: Options = Options()): EncodeResult = {
+    val spark = tokens.sparkSession
+    val keyed = tokens.select(
+      col("doc_id"), col("tokens"), col("n_tok"), col("source"),
+      expr(KeyExpr).as("_graft_key"))
+
+    val stats = Stats.collect(keyed, opts.sampleRows)
+    val parent = currentSnapshot(spark, tableDir)
+      .filter(_.inputFingerprint == stats.fingerprint) // fp change => fresh encode
+    val ver = currentSnapshot(spark, tableDir).map(_.version).getOrElse(0) + 1
+
+    val bounds: IndexedSeq[Long] = parent.map(_.bounds).getOrElse(
+      computeBounds(keyed, stats.rows, opts.targetRowsPerBlock, opts.sampleRows))
+    val numBlocks = bounds.length + 1
+
+    val withBlocks = keyed.withColumn(
+      "block_id", graft_range_bucket(col("_graft_key"), bounds))
+
+    // resume (E5): encode only blocks absent from the parent manifest
+    val notDone = parent match {
+      case Some(p) =>
+        val done = readManifest(spark, tableDir, p)
+          .select(col("block_id").cast("int").as("block_id")).distinct()
+        withBlocks.join(done, Seq("block_id"), "left_anti")
+      case None => withBlocks
+    }
+    val todo = opts.blockFilter match {
+      case Some(f) =>
+        val allowed = (0 until numBlocks).filter(f)
+        notDone.filter(col("block_id").isin(allowed.map(Int.box): _*))
+      case None => notDone
+    }
+
+    // block assembly: ONE shuffle (hash on block_id); deterministic in-group
+    // order via array_sort on (key, doc_id); per-column codec expressions
+    val rs = array_sort(
+      collect_list(struct(
+        col("_graft_key").as("k"), col("doc_id"), col("tokens"),
+        col("n_tok"), col("source"))),
+      (l, r) =>
+        when(l("k") < r("k"), -1).when(l("k") > r("k"), 1)
+          .when(l("doc_id") < r("doc_id"), -1)
+          .when(l("doc_id") > r("doc_id"), 1)
+          .otherwise(0))
+
+    val blocks = todo
+      .groupBy(col("block_id"))
+      .agg(rs.as("rs"))
+      .select(
+        col("block_id"),
+        lit(ver).as("ver"),
+        size(col("rs")).cast("long").as("row_count"),
+        aggregate(col("rs"), lit(0L), (a, r) => a + r("n_tok").cast("long"))
+          .as("token_count"),
+        element_at(col("rs"), 1)("doc_id").as("doc_id_min"),
+        element_at(col("rs"), -1)("doc_id").as("doc_id_max"),
+        aggregate(col("rs"), lit(0L), (a, r) =>
+          a + octet_length(r("doc_id")).cast("long") +
+            octet_length(r("source")).cast("long") +
+            lit(4L) + lit(4L) * r("n_tok").cast("long"))
+          .as("plain_bytes"),
+        graft_encode_str(transform(col("rs"), r => r("doc_id"))).as("pl_doc_id"),
+        graft_encode_gated(
+          flatten(transform(col("rs"), r => r("tokens"))),
+          stats.allowDict, stats.allowFsst).as("pl_tokens"),
+        graft_encode(transform(col("rs"), r => r("n_tok"))).as("pl_n_tok"),
+        graft_encode_str(transform(col("rs"), r => r("source"))).as("pl_source"))
+
+    val dataDir = s"data/v$ver"
+    blocks.write.mode("errorifexists").parquet(s"$tableDir/$dataDir")
+
+    // manifest from the WRITTEN files (column-pruned scan, no re-encode)
+    val written = spark.read.parquet(s"$tableDir/$dataDir")
+    val manifest = written.select(
+      col("block_id"), col("ver"), col("row_count"), col("token_count"),
+      col("doc_id_min"), col("doc_id_max"), col("plain_bytes"),
+      graft_codec(col("pl_doc_id")).as("codec_doc_id"),
+      graft_codec(col("pl_tokens")).as("codec_tokens"),
+      graft_codec(col("pl_n_tok")).as("codec_n_tok"),
+      graft_codec(col("pl_source")).as("codec_source"),
+      octet_length(col("pl_doc_id")).cast("long").as("bytes_doc_id"),
+      octet_length(col("pl_tokens")).cast("long").as("bytes_tokens"),
+      octet_length(col("pl_n_tok")).cast("long").as("bytes_n_tok"),
+      octet_length(col("pl_source")).cast("long").as("bytes_source"),
+      (octet_length(col("pl_doc_id")) + octet_length(col("pl_tokens")) +
+        octet_length(col("pl_n_tok")) + octet_length(col("pl_source")))
+        .cast("long").as("bytes_total"),
+      graft_dict_hash(col("pl_tokens")).as("dict_hash_tokens"),
+      graft_dict_hash(col("pl_source")).as("dict_hash_source"),
+      xxhash64(col("block_id"), col("pl_doc_id"), col("pl_tokens"),
+        col("pl_n_tok"), col("pl_source")).as("block_sig"))
+
+    val newBlocks = manifest.count()
+    if (newBlocks == 0 && parent.nonEmpty) {
+      // nothing to do: drop the empty version dir, current snapshot stands
+      delete(spark, s"$tableDir/$dataDir")
+      val p = parent.get
+      return EncodeResult(p.version, p.snapshotId, p.numBlocks, 0L,
+        p.blocksEncoded, p.rowCount, p.tokenCount, p.bytesTotal, p.plainBytes,
+        p.contentSig, p.complete)
+    }
+
+    val manifestDir = s"manifests/v$ver"
+    manifest.write.mode("errorifexists").json(s"$tableDir/$manifestDir")
+
+    val manifestDirs = parent.map(_.manifestDirs).getOrElse(Nil) :+ manifestDir
+    val dataDirs = parent.map(_.dataDirs).getOrElse(Nil) :+ dataDir
+
+    // snapshot totals over ALL live manifests: O(1) driver state
+    val all = spark.read.json(manifestDirs.map(d => s"$tableDir/$d"): _*)
+    val tot = all.agg(
+      count(lit(1)).as("blocks"),
+      sum("row_count").as("rows"),
+      sum("token_count").as("tokens"),
+      sum("bytes_total").as("bytes"),
+      sum("plain_bytes").as("plain"),
+      expr("bit_xor(block_sig)").as("sig")).head()
+
+    val blocksDone = tot.getLong(0)
+    val contentSig = f"${tot.getLong(5)}%016x"
+    val complete = blocksDone == numBlocks
+    val snapshotId = Hashing.sha256Hex(
+      s"v$ver;parent=${parent.map(_.snapshotId).getOrElse("none")};" +
+        s"fp=${stats.fingerprint};bounds=${bounds.mkString(",")};" +
+        s"blocks=$blocksDone/$numBlocks;rows=${tot.getLong(1)};" +
+        s"tokens=${tot.getLong(2)};bytes=${tot.getLong(3)};sig=$contentSig")
+
+    val snap = Snapshot(
+      version = ver,
+      snapshotId = snapshotId,
+      parentId = parent.map(_.snapshotId),
+      inputFingerprint = stats.fingerprint,
+      keyStrategy = KeyStrategy,
+      bounds = bounds,
+      numBlocks = numBlocks,
+      blocksEncoded = blocksDone,
+      complete = complete,
+      rowCount = tot.getLong(1),
+      tokenCount = tot.getLong(2),
+      bytesTotal = tot.getLong(3),
+      plainBytes = tot.getLong(4),
+      contentSig = contentSig,
+      dataDirs = dataDirs,
+      manifestDirs = manifestDirs,
+      stats = stats.asJsonFields,
+      committedAt = java.time.Instant.now().toString)
+
+    writeString(spark, s"$tableDir/metadata/v$ver.json", renderSnapshot(snap))
+    writeString(spark, s"$tableDir/metadata/current", ver.toString)
+
+    EncodeResult(ver, snapshotId, numBlocks, newBlocks, blocksDone,
+      tot.getLong(1), tot.getLong(2), tot.getLong(3), tot.getLong(4),
+      contentSig, complete)
+  }
+
+  private def computeBounds(
+      keyed: DataFrame, rows: Long, targetRows: Int, sampleRows: Long): IndexedSeq[Long] = {
+    val numBlocks = math.max(1L, (rows + targetRows - 1) / targetRows.toLong)
+    if (numBlocks <= 1) return IndexedSeq.empty
+    val frac = if (rows <= sampleRows) 1.0 else sampleRows.toDouble / rows
+    val s = if (frac >= 1.0) keyed
+    else keyed.sample(withReplacement = false, frac, Stats.SampleSeed)
+    val probs = (1L until numBlocks).map(_.toDouble / numBlocks).toArray
+    s.stat.approxQuantile("_graft_key", probs, 0.001)
+      .map(_.toLong).distinct.sorted.toIndexedSeq
+  }
+
+  // -------------------------------------------------------------- decode
+
+  /** Encoded block rows of the current snapshot (payloads + block metadata).
+    * Blocks are written exactly once under exactly one live data dir, so the
+    * scan needs no manifest join.
+    */
+  def readBlocks(spark: SparkSession, tableDir: String): DataFrame = {
+    val snap = currentSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+    spark.read.parquet(snap.dataDirs.map(d => s"$tableDir/$d"): _*)
+  }
+
+  /** Decode the current snapshot back to the input-shaped token table.
+    * Bit-identical per row to the encoded source (BASELINE.json:6).
+    */
+  def decode(spark: SparkSession, tableDir: String): Dataset[TokenRow] = {
+    import spark.implicits._
+    readBlocks(spark, tableDir)
+      .select(explode(arrays_zip(
+        graft_decode_str(col("pl_doc_id")).as("doc_id"),
+        graft_reslice(graft_decode(col("pl_tokens")), graft_decode(col("pl_n_tok")))
+          .as("tokens"),
+        graft_decode_str(col("pl_source")).as("source"))).as("r"))
+      .select(
+        col("r.doc_id").as("doc_id"),
+        col("r.tokens").as("tokens"),
+        size(col("r.tokens")).as("n_tok"),
+        col("r.source").as("source"))
+      .as[TokenRow]
+  }
+
+  def readManifest(spark: SparkSession, tableDir: String, snap: Snapshot): DataFrame =
+    spark.read.json(snap.manifestDirs.map(d => s"$tableDir/$d"): _*)
+
+  def readManifest(spark: SparkSession, tableDir: String): DataFrame =
+    readManifest(spark, tableDir, currentSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir")))
+
+  // ------------------------------------------------------------ metadata
+
+  def currentSnapshot(spark: SparkSession, tableDir: String): Option[Snapshot] =
+    readStringOpt(spark, s"$tableDir/metadata/current").map { v =>
+      parseSnapshot(readStringOpt(spark, s"$tableDir/metadata/v${v.trim}.json")
+        .getOrElse(throw new IllegalStateException(
+          s"dangling current pointer v$v at $tableDir")))
+    }
+
+  /** Full lineage chain, newest first (resume audit trail). */
+  def lineage(spark: SparkSession, tableDir: String): Seq[Snapshot] = {
+    val cur = currentSnapshot(spark, tableDir)
+    Iterator.iterate(cur) {
+      case Some(s) if s.version > 1 =>
+        readStringOpt(spark, s"$tableDir/metadata/v${s.version - 1}.json")
+          .map(parseSnapshot)
+      case _ => None
+    }.takeWhile(_.nonEmpty).flatten.toSeq
+  }
+
+  private def renderSnapshot(s: Snapshot): String = {
+    def js(v: String) = "\"" + v.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val statsJson = s.stats.map { case (k, v) => s"${js(k)}: ${js(v)}" }
+      .mkString("{", ", ", "}")
+    s"""{
+       |  "format": "graft-table/1",
+       |  "version": ${s.version},
+       |  "snapshot_id": ${js(s.snapshotId)},
+       |  "parent_id": ${s.parentId.map(js).getOrElse("null")},
+       |  "input_fingerprint": ${js(s.inputFingerprint)},
+       |  "key_strategy": ${js(s.keyStrategy)},
+       |  "bounds": [${s.bounds.mkString(", ")}],
+       |  "num_blocks": ${s.numBlocks},
+       |  "blocks_encoded": ${s.blocksEncoded},
+       |  "complete": ${s.complete},
+       |  "row_count": ${s.rowCount},
+       |  "token_count": ${s.tokenCount},
+       |  "bytes_total": ${s.bytesTotal},
+       |  "plain_bytes": ${s.plainBytes},
+       |  "content_sig": ${js(s.contentSig)},
+       |  "data_dirs": [${s.dataDirs.map(js).mkString(", ")}],
+       |  "manifest_dirs": [${s.manifestDirs.map(js).mkString(", ")}],
+       |  "column_stats": $statsJson,
+       |  "committed_at": ${js(s.committedAt)}
+       |}""".stripMargin
+  }
+
+  private def parseSnapshot(text: String): Snapshot = {
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(text)
+    Snapshot(
+      version = (j \ "version").extract[Int],
+      snapshotId = (j \ "snapshot_id").extract[String],
+      parentId = (j \ "parent_id").extractOpt[String],
+      inputFingerprint = (j \ "input_fingerprint").extract[String],
+      keyStrategy = (j \ "key_strategy").extract[String],
+      bounds = (j \ "bounds").extract[Seq[Long]].toIndexedSeq,
+      numBlocks = (j \ "num_blocks").extract[Int],
+      blocksEncoded = (j \ "blocks_encoded").extract[Long],
+      complete = (j \ "complete").extract[Boolean],
+      rowCount = (j \ "row_count").extract[Long],
+      tokenCount = (j \ "token_count").extract[Long],
+      bytesTotal = (j \ "bytes_total").extract[Long],
+      plainBytes = (j \ "plain_bytes").extract[Long],
+      contentSig = (j \ "content_sig").extract[String],
+      dataDirs = (j \ "data_dirs").extract[Seq[String]],
+      manifestDirs = (j \ "manifest_dirs").extract[Seq[String]],
+      stats = (j \ "column_stats").extract[Map[String, String]].toSeq.sorted,
+      committedAt = (j \ "committed_at").extract[String])
+  }
+
+  // ------------------------------------------------ Hadoop FS metadata IO
+
+  private def hfs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeString(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new Path(path)
+    val out = hfs(spark, path).create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readStringOpt(spark: SparkSession, path: String): Option[String] = {
+    val p = new Path(path)
+    val fs = hfs(spark, path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  private def delete(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = hfs(spark, path)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+}

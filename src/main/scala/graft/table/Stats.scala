@@ -1,0 +1,124 @@
+package graft.table
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.codec.{Hashing, IntBlocks}
+
+/** Sampled per-column statistics that drive codec auto-selection (SURVEY.md
+  * E6–E7) plus the input fingerprint that anchors resume lineage.
+  *
+  * Two passes, both distributed with map-side partial aggregation:
+  *   1. full pass — O(1)-state aggregates only (counts, min/max, HLL++
+  *      cardinality, xxhash64 bit_xor fingerprint). One scan, no shuffle of
+  *      data rows, tiny result.
+  *   2. seeded-sample pass — the expensive token-level stats (exploded
+  *      distinct, adjacent-run fraction) over ≤ `sampleRows` rows.
+  *
+  * Everything is deterministic: fixed sample seed, commutative bit_xor
+  * fingerprint (partition-order independent).
+  */
+final case class ColumnStats(
+    rows: Long,
+    tokensTotal: Long,
+    keyNulls: Long,
+    keyMin: Long,
+    keyMax: Long,
+    tokMin: Int,
+    tokMax: Int,
+    tokDistinct: Long,
+    adjRepeatFrac: Double,
+    nTokMin: Int,
+    nTokMax: Int,
+    sourceDistinct: Long,
+    fingerprint: String) {
+
+  /** Candidate gating for the tokens column (E7): dict/FSST trials are only
+    * worth attempting when the sampled cardinality fits the dictionary cap.
+    */
+  def allowDict: Boolean = tokDistinct <= IntBlocks.DictCap
+  def allowFsst: Boolean = allowDict
+
+  def asJsonFields: Seq[(String, String)] = Seq(
+    "rows" -> rows.toString,
+    "tokens_total" -> tokensTotal.toString,
+    "key_nulls" -> keyNulls.toString,
+    "key_min" -> keyMin.toString,
+    "key_max" -> keyMax.toString,
+    "tok_min" -> tokMin.toString,
+    "tok_max" -> tokMax.toString,
+    "tok_distinct" -> tokDistinct.toString,
+    "adj_repeat_frac" -> f"$adjRepeatFrac%.6f",
+    "n_tok_min" -> nTokMin.toString,
+    "n_tok_max" -> nTokMax.toString,
+    "source_distinct" -> sourceDistinct.toString)
+}
+
+object Stats {
+
+  val SampleSeed = 42L
+
+  /** `tokens` must be the input-shaped table (doc_id, tokens, n_tok, source)
+    * with a `_graft_key` bigint column already attached.
+    */
+  def collect(keyed: DataFrame, sampleRows: Long = 1L << 20): ColumnStats = {
+    val full = keyed.agg(
+      count(lit(1)).as("rows"),
+      sum(col("n_tok").cast("long")).as("tokens_total"),
+      sum(when(col("_graft_key").isNull, 1L).otherwise(0L)).as("key_nulls"),
+      min(col("_graft_key")).as("key_min"),
+      max(col("_graft_key")).as("key_max"),
+      min(array_min(col("tokens"))).as("tok_min"),
+      max(array_max(col("tokens"))).as("tok_max"),
+      min(col("n_tok")).as("n_tok_min"),
+      max(col("n_tok")).as("n_tok_max"),
+      approx_count_distinct(col("source")).as("source_distinct"),
+      expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source))").as("fp_xor"))
+      .head()
+
+    val rows = full.getLong(0)
+    val frac = if (rows <= sampleRows) 1.0 else sampleRows.toDouble / rows
+    val sample =
+      if (frac >= 1.0) keyed else keyed.sample(withReplacement = false, frac, SampleSeed)
+
+    // adjacent-repeat pairs per row: zip tokens with its own 1-shift
+    val adjPairs = aggregate(
+      zip_with(
+        slice(col("tokens"), lit(1), greatest(col("n_tok") - 1, lit(0))),
+        slice(col("tokens"), lit(2), greatest(col("n_tok") - 1, lit(0))),
+        (a, b) => when(a === b, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+
+    val tokDistinct = sample
+      .select(explode(col("tokens")).as("t"))
+      .agg(approx_count_distinct(col("t"), 0.01))
+      .head().getLong(0)
+
+    val adj = sample.agg(
+      sum(adjPairs).as("adj"),
+      sum(greatest(col("n_tok").cast("long") - 1L, lit(0L))).as("pairs"))
+      .head()
+    val adjFrac =
+      if (adj.isNullAt(1) || adj.getLong(1) == 0L) 0.0
+      else adj.getLong(0).toDouble / adj.getLong(1)
+
+    val fpXor = if (full.isNullAt(10)) 0L else full.getLong(10)
+    val fingerprint = Hashing.sha256Hex(
+      s"rows=$rows;tokens=${if (full.isNullAt(1)) 0L else full.getLong(1)};xor=$fpXor")
+
+    ColumnStats(
+      rows = rows,
+      tokensTotal = if (full.isNullAt(1)) 0L else full.getLong(1),
+      keyNulls = full.getLong(2),
+      keyMin = if (full.isNullAt(3)) 0L else full.getLong(3),
+      keyMax = if (full.isNullAt(4)) 0L else full.getLong(4),
+      tokMin = if (full.isNullAt(5)) 0 else full.getInt(5),
+      tokMax = if (full.isNullAt(6)) 0 else full.getInt(6),
+      tokDistinct = tokDistinct,
+      adjRepeatFrac = adjFrac,
+      nTokMin = if (full.isNullAt(7)) 0 else full.getInt(7),
+      nTokMax = if (full.isNullAt(8)) 0 else full.getInt(8),
+      sourceDistinct = full.getLong(9),
+      fingerprint = fingerprint)
+  }
+}

@@ -31,6 +31,12 @@ object GraftSql {
       case _ => throw new IllegalArgumentException("graft_encode(arr[, codec])")
     }, "built-in")
 
+    reg.createOrReplaceTempFunction("graft_encode_str",
+      exprs => graft.expr.GraftEncodeStr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_codec",
+      exprs => graft.expr.GraftCodecName(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_dict_hash",
+      exprs => graft.expr.GraftDictHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_decode",
       exprs => graft.expr.GraftDecode(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_decode_str",

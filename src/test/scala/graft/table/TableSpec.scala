@@ -1,0 +1,191 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** End-to-end table tests (SURVEY.md §5.2 items 4 and 6) on the real
+  * sf0.001 testdata: encode → manifest completeness → decode bit-identical,
+  * compressed size ≤ the reference Parquet size of the same token table,
+  * resume-from-checkpoint, and snapshot determinism.
+  */
+class TableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val SfDir = "/root/testdata/sf0.001"
+  private lazy val source = Tokenize.tokenTable(spark, SfDir).cache()
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  /** Sorted collect for exact per-row comparison (500 rows at sf0.001). */
+  private def collectRows(ds: org.apache.spark.sql.Dataset[TokenRow]) =
+    ds.collect().sortBy(r => (r.doc_id.length, r.doc_id))
+      .map(r => (r.doc_id, r.tokens.toSeq, r.n_tok, r.source))
+
+  test("encode → decode is bit-identical per row on sf0.001 (multi-block)") {
+    val dir = tmpDir("e2e")
+    val res = GraftTable.encode(source.toDF(), dir,
+      GraftTable.Options(targetRowsPerBlock = 64))
+    assert(res.complete)
+    assert(res.numBlocks >= 4, s"expected several blocks, got ${res.numBlocks}")
+    assert(res.rowCount == 500)
+    assert(res.tokenCount == 27939) // FIXTURES.md §2 measured total
+
+    val decoded = GraftTable.decode(spark, dir)
+    assert(collectRows(decoded).sameElements(collectRows(source)))
+
+    // declarative verify (SURVEY.md E11): join + array equality, 0 mismatches
+    val mism = decoded.toDF().alias("d")
+      .join(source.toDF().alias("s"), "doc_id")
+      .where(!(col("d.tokens") <=> col("s.tokens")) ||
+        !(col("d.source") <=> col("s.source")) ||
+        !(col("d.n_tok") <=> col("s.n_tok")))
+      .count()
+    assert(mism == 0)
+  }
+
+  test("compressed size ≤ reference Parquet size of the same table") {
+    val dir = tmpDir("size")
+    val res = GraftTable.encode(source.toDF(), dir, GraftTable.Options())
+
+    // reference: the same token table written by Spark's Parquet (defaults)
+    val refDir = tmpDir("refpq")
+    source.write.mode("overwrite").parquet(s"$refDir/tokens")
+    val refBytes = Files.walk(java.nio.file.Paths.get(s"$refDir/tokens"))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .mapToLong(p => p.toFile.length()).sum()
+
+    assert(res.bytesTotal <= refBytes,
+      s"encoded ${res.bytesTotal} B > reference parquet $refBytes B")
+    assert(res.bytesTotal < res.plainBytes,
+      s"encoded ${res.bytesTotal} B >= plain ${res.plainBytes} B")
+    info(s"encoded=${res.bytesTotal} B, parquet=$refBytes B, " +
+      f"plain=${res.plainBytes} B, ratio-vs-plain=${res.compressionVsPlain}%.3f")
+  }
+
+  test("manifest is complete and selection evidence is recorded") {
+    val dir = tmpDir("manifest")
+    val res = GraftTable.encode(source.toDF(), dir,
+      GraftTable.Options(targetRowsPerBlock = 100))
+    val man = GraftTable.readManifest(spark, dir)
+    assert(man.count() == res.numBlocks.toLong)
+    val row = man.orderBy("block_id").head()
+    val cols = man.columns.toSet
+    Seq("block_id", "row_count", "token_count", "codec_tokens", "codec_doc_id",
+      "codec_n_tok", "codec_source", "bytes_total", "plain_bytes",
+      "dict_hash_tokens", "dict_hash_source", "doc_id_min", "doc_id_max",
+      "block_sig", "ver").foreach(c => assert(cols.contains(c), c))
+    // row counts in the manifest sum to the table row count
+    assert(man.agg(sum("row_count")).head().getLong(0) == 500L)
+    // dict hash is a sha256 hex
+    assert(row.getAs[String]("dict_hash_tokens").matches("[0-9a-f]{64}"))
+    // codec names are from the known families
+    val known = graft.codec.IntBlocks.idOf.keySet ++
+      graft.codec.StrBlocks.names.values
+    assert(known.contains(row.getAs[String]("codec_tokens")))
+    assert(known.contains(row.getAs[String]("codec_doc_id")))
+  }
+
+  test("resume: second run encodes only the missing blocks, lineage chains") {
+    val dir = tmpDir("resume")
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+
+    // run 1: half the blocks (simulated interruption / backfill)
+    val r1 = GraftTable.encode(source.toDF(), dir,
+      opts.copy(blockFilter = Some(_ % 2 == 0)))
+    assert(!r1.complete)
+    assert(r1.blocksDone < r1.numBlocks)
+
+    // run 2: completes only what is missing
+    val r2 = GraftTable.encode(source.toDF(), dir, opts)
+    assert(r2.complete)
+    assert(r2.blocksEncodedThisRun == r2.numBlocks - r1.blocksDone,
+      s"re-encoded already-done blocks: $r2 vs $r1")
+    assert(r2.rowCount == 500)
+
+    // even blocks still live in v1's data dir (not rewritten)
+    val man = GraftTable.readManifest(spark, dir)
+    val byVer = man.groupBy("ver").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byVer.keySet == Set(1L, 2L))
+
+    // lineage chain: v2's parent is v1's snapshot
+    val chain = GraftTable.lineage(spark, dir)
+    assert(chain.map(_.version) == Seq(2, 1))
+    assert(chain.head.parentId.contains(chain(1).snapshotId))
+
+    // and the final table decodes bit-identically
+    assert(collectRows(GraftTable.decode(spark, dir))
+      .sameElements(collectRows(source)))
+  }
+
+  test("idempotence: re-running a complete table is a no-op") {
+    val dir = tmpDir("idem")
+    val r1 = GraftTable.encode(source.toDF(), dir, GraftTable.Options(targetRowsPerBlock = 128))
+    val r2 = GraftTable.encode(source.toDF(), dir, GraftTable.Options(targetRowsPerBlock = 128))
+    assert(r2.blocksEncodedThisRun == 0)
+    assert(r2.version == r1.version)
+    assert(r2.snapshotId == r1.snapshotId)
+  }
+
+  test("determinism: two independent encodes produce identical content") {
+    val dirA = tmpDir("detA")
+    val dirB = tmpDir("detB")
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    val a = GraftTable.encode(source.toDF(), dirA, opts)
+    val b = GraftTable.encode(source.toDF(), dirB, opts)
+    assert(a.contentSig == b.contentSig)
+    assert(a.snapshotId == b.snapshotId)
+    assert(a.bytesTotal == b.bytesTotal)
+  }
+
+  test("stats pass: sampled column statistics gate codec candidates") {
+    val keyed = source.toDF().withColumn("_graft_key",
+      expr("coalesce(try_cast(doc_id as bigint), xxhash64(doc_id))"))
+    val st = Stats.collect(keyed)
+    assert(st.rows == 500)
+    assert(st.tokensTotal == 27939)
+    assert(st.tokMax <= 30 && st.tokMin >= 0) // 31-word vocab (FIXTURES.md)
+    assert(st.tokDistinct <= 40 && st.tokDistinct >= 25) // HLL ±1%
+    assert(st.allowDict && st.allowFsst)
+    assert(st.adjRepeatFrac > 0.0 && st.adjRepeatFrac < 0.2)
+    assert(st.nTokMin >= 10 && st.nTokMax <= 100)
+    assert(st.fingerprint.matches("[0-9a-f]{64}"))
+  }
+
+  test("skew: detection flags a hot key and salted agg matches plain agg") {
+    val df = (0 until 2000).map { i =>
+      val src = if (i % 4 != 3) "hot" else s"src${i % 7}"
+      (i.toString, src)
+    }.toDF("doc_id", "source")
+
+    val rep = Skew.detect(df, col("source"))
+    assert(rep.isSkewed && rep.hotKeys == Seq("hot"))
+
+    val salted = Skew.saltedKeyCounts(df, col("source"), col("doc_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = df.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("input change invalidates resume (fingerprint mismatch → fresh encode)") {
+    val dir = tmpDir("fp")
+    val opts = GraftTable.Options(targetRowsPerBlock = 128)
+    GraftTable.encode(source.toDF(), dir, opts)
+    val altered = source.toDF()
+      .withColumn("tokens", concat(col("tokens"), array(lit(1))))
+      .withColumn("n_tok", col("n_tok") + 1)
+    val r2 = GraftTable.encode(altered, dir, opts)
+    assert(r2.version == 2)
+    assert(r2.blocksEncodedThisRun == r2.numBlocks.toLong) // full re-encode
+    val dec = GraftTable.decode(spark, dir)
+    assert(dec.count() == 500)
+    assert(dec.where(element_at(col("tokens"), -1) =!= 1).count() == 0)
+  }
+}
