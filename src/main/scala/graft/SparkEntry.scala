@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.table.Tokenize
+import graft.functions.{graft_decode, graft_encode}
+import graft.table.{GraftTable, Tokenize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,9 +16,27 @@ import graft.table.Tokenize
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Exercises the whole engine: tokenize → stats → block encode → manifest
+    * → decode → per-source aggregation of the decoded table.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_source_stats")(spark, "/root/testdata/sf0.001")
+    queries("q_roundtrip_table")(spark, "/root/testdata/sf0.001")
+
+  /** Encode the sfDir token table into a deterministic scratch location
+    * (idempotent: a complete table resumes as a no-op) and return its dir.
+    * Path carries a format tag so stale tables from older code never leak in.
+    */
+  private def encodedTableDir(spark: SparkSession, sfDir: String): String = {
+    val dir = "/tmp/graft-tables/f1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    GraftTable.encode(
+      Tokenize.tokenTable(spark, sfDir).toDF(), dir,
+      GraftTable.Options(targetRowsPerBlock = 128))
+    dir
+  }
+
+  private val codecNames =
+    Seq("plain", "bitpack", "for", "delta_for", "rle", "dict", "fsst")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -56,6 +75,74 @@ object SparkEntry {
           max(col("n_tok")).cast("long").as("max_tok"),
           sum(Tokenize.checksumCol(col("tokens"))).as("checksum_sum"))
         .orderBy("source")
+    }),
+
+    // E4+E10+E11: FULL pipeline — encode into the Iceberg-shaped table,
+    // decode it back, aggregate the DECODED rows. Matching the oracle
+    // (computed from raw documents) proves bit-identical round-trip
+    // through block assembly, codecs, parquet, and manifest resume.
+    "q_roundtrip_table" -> ((s, dir) => {
+      val tdir = encodedTableDir(s, dir)
+      GraftTable.decode(s, tdir).toDF()
+        .groupBy("source")
+        .agg(
+          count(lit(1)).cast("long").as("docs"),
+          sum(col("n_tok").cast("long")).as("tokens"),
+          sum(Tokenize.checksumCol(col("tokens"))).as("checksum_sum"))
+        .orderBy("source")
+    }),
+
+    // E11 verify as a query: decoded ⋈ source equi-join, mismatches must
+    // be zero (the oracle asserts the constant — reachable only if the
+    // engine's decode is bit-identical for every row)
+    "q_verify_mismatch" -> ((s, dir) => {
+      val tdir = encodedTableDir(s, dir)
+      val src = Tokenize.tokenTable(s, dir).toDF().alias("s")
+      val dec = GraftTable.decode(s, tdir).toDF().alias("d")
+      dec.join(src, "doc_id")
+        .agg(
+          count(lit(1)).cast("long").as("docs"),
+          sum(when(col("d.tokens") <=> col("s.tokens") and
+            (col("d.source") <=> col("s.source")) and
+            (col("d.n_tok") <=> col("s.n_tok")), 0L).otherwise(1L))
+            .as("mismatches"))
+    }),
+
+    // E8a–E8e: every codec family forced over every row, decoded, and
+    // checksummed — one result row per codec, all equal to the source
+    "q_codec_roundtrip" -> ((s, dir) => {
+      val base = Tokenize.tokenTable(s, dir).toDF()
+      codecNames.map { c =>
+        base.select(
+          lit(c).as("codec"),
+          col("n_tok"),
+          graft_decode(graft_encode(col("tokens"), c)).as("decoded"))
+          .agg(
+            first(lit(c)).as("codec"),
+            count(lit(1)).cast("long").as("docs"),
+            sum(size(col("decoded")).cast("long")).as("tokens"),
+            sum(Tokenize.checksumCol(col("decoded"))).as("checksum_sum"))
+      }.reduce(_ unionAll _).orderBy("codec")
+    }),
+
+    // E4/E16: per-block manifest (codec selection evidence, lineage,
+    // sizes). Not SQL-expressible (block bounds come from sampled
+    // quantiles) → rows-only check.
+    "q_block_manifest" -> ((s, dir) => {
+      val tdir = encodedTableDir(s, dir)
+      GraftTable.readManifest(s, tdir)
+        .select(
+          col("block_id").cast("long").as("block_id"),
+          col("ver").cast("long").as("ver"),
+          col("row_count").cast("long").as("row_count"),
+          col("token_count").cast("long").as("token_count"),
+          col("doc_id_min"), col("doc_id_max"),
+          col("codec_doc_id"), col("codec_tokens"),
+          col("codec_n_tok"), col("codec_source"),
+          col("bytes_total").cast("long").as("bytes_total"),
+          col("plain_bytes").cast("long").as("plain_bytes"),
+          col("dict_hash_tokens"))
+        .orderBy("block_id")
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -109,5 +196,56 @@ object SparkEntry {
         |       CAST(sum(checksum) AS BIGINT) AS checksum_sum
         |FROM per_doc
         |GROUP BY source
-        |ORDER BY source""".stripMargin)
+        |ORDER BY source""".stripMargin,
+
+    // proves the engine's decoded table equals the raw source: the oracle
+    // recomputes the same per-source aggregates from documents directly
+    "q_roundtrip_table" ->
+      """WITH vocab AS (
+        |  SELECT word, row_number() OVER (ORDER BY word) - 1 AS tid
+        |  FROM (SELECT DISTINCT unnest(string_split(text,' ')) AS word FROM documents)
+        |), pairs AS (
+        |  SELECT doc_id, source, unnest(string_split(text,' ')) AS word,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents
+        |), per_doc AS (
+        |  SELECT p.doc_id, p.source, count(*) AS n_tok, sum(v.tid * p.pos) AS checksum
+        |  FROM pairs p JOIN vocab v ON v.word = p.word
+        |  GROUP BY p.doc_id, p.source
+        |)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |       CAST(sum(checksum) AS BIGINT) AS checksum_sum
+        |FROM per_doc
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q_verify_mismatch" ->
+      """SELECT CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(0 AS BIGINT) AS mismatches
+        |FROM documents""".stripMargin,
+
+    "q_codec_roundtrip" ->
+      """WITH vocab AS (
+        |  SELECT word, row_number() OVER (ORDER BY word) - 1 AS tid
+        |  FROM (SELECT DISTINCT unnest(string_split(text,' ')) AS word FROM documents)
+        |), pairs AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS word,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents
+        |), per_doc AS (
+        |  SELECT p.doc_id, count(*) AS n_tok, sum(v.tid * p.pos) AS checksum
+        |  FROM pairs p JOIN vocab v ON v.word = p.word
+        |  GROUP BY p.doc_id
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS docs,
+        |         CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |         CAST(sum(checksum) AS BIGINT) AS checksum_sum
+        |  FROM per_doc
+        |)
+        |SELECT c.codec, t.docs, t.tokens, t.checksum_sum
+        |FROM (VALUES ('plain'),('bitpack'),('for'),('delta_for'),('rle'),('dict'),('fsst')) c(codec)
+        |CROSS JOIN tot t
+        |ORDER BY c.codec""".stripMargin)
 }

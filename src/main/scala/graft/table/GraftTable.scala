@@ -167,8 +167,10 @@ object GraftTable {
         graft_encode(transform(col("rs"), r => r("n_tok"))).as("pl_n_tok"),
         graft_encode_str(transform(col("rs"), r => r("source"))).as("pl_source"))
 
+    // overwrite: a same-version dir can only be an orphan from a crashed
+    // run (versions enter data_dirs only after the snapshot commit below)
     val dataDir = s"data/v$ver"
-    blocks.write.mode("errorifexists").parquet(s"$tableDir/$dataDir")
+    blocks.write.mode("overwrite").parquet(s"$tableDir/$dataDir")
 
     // manifest from the WRITTEN files (column-pruned scan, no re-encode)
     val written = spark.read.parquet(s"$tableDir/$dataDir")
@@ -202,7 +204,7 @@ object GraftTable {
     }
 
     val manifestDir = s"manifests/v$ver"
-    manifest.write.mode("errorifexists").json(s"$tableDir/$manifestDir")
+    manifest.write.mode("overwrite").json(s"$tableDir/$manifestDir")
 
     val manifestDirs = parent.map(_.manifestDirs).getOrElse(Nil) :+ manifestDir
     val dataDirs = parent.map(_.dataDirs).getOrElse(Nil) :+ dataDir
