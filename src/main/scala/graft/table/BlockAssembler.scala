@@ -1,0 +1,89 @@
+package graft.table
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.codec.{IntBlocks, StrBlocks}
+
+/** One input row of the block-assembly stage (post-shuffle, sorted by
+  * (block_id, k, doc_id) within the partition).
+  */
+final case class BlockInput(
+    block_id: Int,
+    k: Long,
+    doc_id: String,
+    tokens: Array[Int],
+    n_tok: Int,
+    source: String)
+
+/** One encoded block = one output row = one manifest entry's data. */
+final case class BlockRow(
+    block_id: Int,
+    ver: Int,
+    row_count: Long,
+    token_count: Long,
+    doc_id_min: String,
+    doc_id_max: String,
+    plain_bytes: Long,
+    pl_doc_id: Array[Byte],
+    pl_tokens: Array[Byte],
+    pl_n_tok: Array[Byte],
+    pl_source: Array[Byte])
+
+/** Streaming per-partition block assembly: rows arrive sorted by
+  * (block_id, k, doc_id), so each block is a run of consecutive rows.
+  * Exactly one block's columns are materialized at a time — memory is
+  * O(targetRowsPerBlock), independent of partition size, which is what
+  * lets the same code encode 10^12 rows without spill pathology.
+  */
+object BlockAssembler {
+
+  def assemble(
+      it: Iterator[BlockInput],
+      ver: Int,
+      allowDict: Boolean,
+      allowFsst: Boolean): Iterator[BlockRow] = new Iterator[BlockRow] {
+
+    private val in: scala.collection.BufferedIterator[BlockInput] = it.buffered
+
+    override def hasNext: Boolean = in.hasNext
+
+    override def next(): BlockRow = {
+      val blockId = in.head.block_id
+      val docIds = new ArrayBuffer[String]
+      val sources = new ArrayBuffer[String]
+      val nToks = new ArrayBuffer[Int]
+      var flat = new Array[Int](1 << 16)
+      var flatLen = 0
+      var plainBytes = 0L
+
+      while (in.hasNext && in.head.block_id == blockId) {
+        val r = in.next()
+        docIds += r.doc_id
+        sources += r.source
+        nToks += r.n_tok
+        if (flatLen + r.tokens.length > flat.length) {
+          var cap = flat.length
+          while (cap < flatLen + r.tokens.length) cap <<= 1
+          flat = java.util.Arrays.copyOf(flat, cap)
+        }
+        System.arraycopy(r.tokens, 0, flat, flatLen, r.tokens.length)
+        flatLen += r.tokens.length
+        plainBytes += r.doc_id.length + r.source.length + 4L + 4L * r.n_tok
+      }
+
+      val tokens = java.util.Arrays.copyOf(flat, flatLen)
+      BlockRow(
+        block_id = blockId,
+        ver = ver,
+        row_count = docIds.length.toLong,
+        token_count = flatLen.toLong,
+        doc_id_min = docIds.head,
+        doc_id_max = docIds.last,
+        plain_bytes = plainBytes,
+        pl_doc_id = StrBlocks.encodeAuto(docIds.toArray),
+        pl_tokens = IntBlocks.encodeAutoChoice(tokens, allowDict, allowFsst)._1,
+        pl_n_tok = IntBlocks.encodeAuto(nToks.toArray),
+        pl_source = StrBlocks.encodeAuto(sources.toArray))
+    }
+  }
+}

@@ -99,19 +99,30 @@ object GraftTable {
 
   // ------------------------------------------------------------- encode
 
+  private val timing = sys.env.get("GRAFT_TIMING").contains("1")
+  private def timed[T](label: String)(f: => T): T = {
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"GRAFT_TIMING $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+  }
+
   def encode(tokens: DataFrame, tableDir: String, opts: Options = Options()): EncodeResult = {
     val spark = tokens.sparkSession
     val keyed = tokens.select(
       col("doc_id"), col("tokens"), col("n_tok"), col("source"),
       expr(KeyExpr).as("_graft_key"))
 
-    val stats = Stats.collect(keyed, opts.sampleRows)
+    val stats = timed("stats")(Stats.collect(keyed, opts.sampleRows))
     val parent = currentSnapshot(spark, tableDir)
       .filter(_.inputFingerprint == stats.fingerprint) // fp change => fresh encode
     val ver = currentSnapshot(spark, tableDir).map(_.version).getOrElse(0) + 1
 
-    val bounds: IndexedSeq[Long] = parent.map(_.bounds).getOrElse(
-      computeBounds(keyed, stats.rows, opts.targetRowsPerBlock, opts.sampleRows))
+    val bounds: IndexedSeq[Long] = timed("bounds")(parent.map(_.bounds).getOrElse(
+      computeBounds(keyed, stats.rows, opts.targetRowsPerBlock, opts.sampleRows)))
     val numBlocks = bounds.length + 1
 
     val withBlocks = keyed.withColumn(
@@ -132,45 +143,35 @@ object GraftTable {
       case None => notDone
     }
 
-    // block assembly: ONE shuffle (hash on block_id); deterministic in-group
-    // order via array_sort on (key, doc_id); per-column codec expressions
-    val rs = array_sort(
-      collect_list(struct(
-        col("_graft_key").as("k"), col("doc_id"), col("tokens"),
-        col("n_tok"), col("source"))),
-      (l, r) =>
-        when(l("k") < r("k"), -1).when(l("k") > r("k"), 1)
-          .when(l("doc_id") < r("doc_id"), -1)
-          .when(l("doc_id") > r("doc_id"), 1)
-          .otherwise(0))
-
+    // block assembly: ONE shuffle (explicit repartition on block_id — the
+    // fixed partition count is immune to AQE's bytes-based coalescing,
+    // which would serialize this CPU-bound stage) + sortWithinPartitions
+    // (Tungsten external sort, spill-safe) + a streaming per-partition
+    // grouper that holds exactly ONE block in memory while encoding.
+    //
+    // A declarative groupBy + array_sort(collect_list(...)) is the obvious
+    // alternative, but collect_list's map-side partial aggregation buffers
+    // entire shuffle partitions in the agg hash map (no size reduction —
+    // measured 3–13× slower with erratic spill behavior at a few hundred
+    // MB). mapPartitions over the sorted stream is the memory-bounded
+    // typed-Dataset form of the same plan.
+    import spark.implicits._
+    val parallelism = spark.sparkContext.defaultParallelism
+    val encodeParts = math.max(1, math.min(numBlocks, parallelism * 2))
     val blocks = todo
-      .groupBy(col("block_id"))
-      .agg(rs.as("rs"))
-      .select(
-        col("block_id"),
-        lit(ver).as("ver"),
-        size(col("rs")).cast("long").as("row_count"),
-        aggregate(col("rs"), lit(0L), (a, r) => a + r("n_tok").cast("long"))
-          .as("token_count"),
-        element_at(col("rs"), 1)("doc_id").as("doc_id_min"),
-        element_at(col("rs"), -1)("doc_id").as("doc_id_max"),
-        aggregate(col("rs"), lit(0L), (a, r) =>
-          a + octet_length(r("doc_id")).cast("long") +
-            octet_length(r("source")).cast("long") +
-            lit(4L) + lit(4L) * r("n_tok").cast("long"))
-          .as("plain_bytes"),
-        graft_encode_str(transform(col("rs"), r => r("doc_id"))).as("pl_doc_id"),
-        graft_encode_gated(
-          flatten(transform(col("rs"), r => r("tokens"))),
-          stats.allowDict, stats.allowFsst).as("pl_tokens"),
-        graft_encode(transform(col("rs"), r => r("n_tok"))).as("pl_n_tok"),
-        graft_encode_str(transform(col("rs"), r => r("source"))).as("pl_source"))
+      .select(col("block_id"), col("_graft_key").as("k"), col("doc_id"),
+        col("tokens"), col("n_tok"), col("source"))
+      .repartition(encodeParts, col("block_id"))
+      .sortWithinPartitions(col("block_id"), col("k"), col("doc_id"))
+      .as[BlockInput]
+      .mapPartitions(it =>
+        BlockAssembler.assemble(it, ver, stats.allowDict, stats.allowFsst))
 
     // overwrite: a same-version dir can only be an orphan from a crashed
     // run (versions enter data_dirs only after the snapshot commit below)
     val dataDir = s"data/v$ver"
-    blocks.write.mode("overwrite").parquet(s"$tableDir/$dataDir")
+    timed("encode+write")(
+      blocks.write.mode("overwrite").parquet(s"$tableDir/$dataDir"))
 
     // manifest from the WRITTEN files (column-pruned scan, no re-encode)
     val written = spark.read.parquet(s"$tableDir/$dataDir")
@@ -193,7 +194,7 @@ object GraftTable {
       xxhash64(col("block_id"), col("pl_doc_id"), col("pl_tokens"),
         col("pl_n_tok"), col("pl_source")).as("block_sig"))
 
-    val newBlocks = manifest.count()
+    val newBlocks = timed("manifest-count")(manifest.count())
     if (newBlocks == 0 && parent.nonEmpty) {
       // nothing to do: drop the empty version dir, current snapshot stands
       delete(spark, s"$tableDir/$dataDir")
@@ -204,20 +205,20 @@ object GraftTable {
     }
 
     val manifestDir = s"manifests/v$ver"
-    manifest.write.mode("overwrite").json(s"$tableDir/$manifestDir")
+    timed("manifest-write")(manifest.write.mode("overwrite").json(s"$tableDir/$manifestDir"))
 
     val manifestDirs = parent.map(_.manifestDirs).getOrElse(Nil) :+ manifestDir
     val dataDirs = parent.map(_.dataDirs).getOrElse(Nil) :+ dataDir
 
     // snapshot totals over ALL live manifests: O(1) driver state
     val all = spark.read.json(manifestDirs.map(d => s"$tableDir/$d"): _*)
-    val tot = all.agg(
+    val tot = timed("totals")(all.agg(
       count(lit(1)).as("blocks"),
       sum("row_count").as("rows"),
       sum("token_count").as("tokens"),
       sum("bytes_total").as("bytes"),
       sum("plain_bytes").as("plain"),
-      expr("bit_xor(block_sig)").as("sig")).head()
+      expr("bit_xor(block_sig)").as("sig")).head())
 
     val blocksDone = tot.getLong(0)
     val contentSig = f"${tot.getLong(5)}%016x"

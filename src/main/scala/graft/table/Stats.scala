@@ -61,8 +61,24 @@ object Stats {
   /** `tokens` must be the input-shaped table (doc_id, tokens, n_tok, source)
     * with a `_graft_key` bigint column already attached.
     */
+  private val timing = sys.env.get("GRAFT_TIMING").contains("1")
+  private def timed[T](label: String)(f: => T): T = {
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"GRAFT_TIMING $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+  }
+
   def collect(keyed: DataFrame, sampleRows: Long = 1L << 20): ColumnStats = {
-    val full = keyed.agg(
+    // fingerprint hashes the cheap scalar fields only: hashing the tokens
+    // array costs ~0.9 µs/token (measured — it would dominate the whole
+    // encode job), and row count + token sum + value min/max already pin
+    // down adds/removes/reorders/length changes. Token-VALUE integrity is
+    // the verify job's charter (bit-identical round-trip), not resume's.
+    val full = timed("stats-full")(keyed.agg(
       count(lit(1)).as("rows"),
       sum(col("n_tok").cast("long")).as("tokens_total"),
       sum(when(col("_graft_key").isNull, 1L).otherwise(0L)).as("key_nulls"),
@@ -73,11 +89,16 @@ object Stats {
       min(col("n_tok")).as("n_tok_min"),
       max(col("n_tok")).as("n_tok_max"),
       approx_count_distinct(col("source")).as("source_distinct"),
-      expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source))").as("fp_xor"))
-      .head()
+      expr("bit_xor(xxhash64(doc_id, n_tok, source))").as("fp_xor"))
+      .head())
 
     val rows = full.getLong(0)
-    val frac = if (rows <= sampleRows) 1.0 else sampleRows.toDouble / rows
+    // sample budget counts TOKENS, not rows: the sampled stats iterate every
+    // token, so a million 50k-token rows must not slip through a row cap
+    val tokensTotal0 = if (full.isNullAt(1)) 0L else full.getLong(1)
+    val avgTok = if (rows == 0) 1.0 else math.max(1.0, tokensTotal0.toDouble / rows)
+    val rowBudget = math.max(1L, (sampleRows.toDouble / avgTok).toLong)
+    val frac = if (rows <= rowBudget) 1.0 else rowBudget.toDouble / rows
     val sample =
       if (frac >= 1.0) keyed else keyed.sample(withReplacement = false, frac, SampleSeed)
 
@@ -89,22 +110,26 @@ object Stats {
         (a, b) => when(a === b, 1L).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
 
-    val tokDistinct = sample
+    // rsd 0.05 (HLL default): the only consumer is the dict-cap gate
+    // (65536), where ±5% is ample — rsd 0.01 costs ~3× per update
+    val tokDistinct = timed("stats-tokdistinct")(sample
       .select(explode(col("tokens")).as("t"))
-      .agg(approx_count_distinct(col("t"), 0.01))
-      .head().getLong(0)
+      .agg(approx_count_distinct(col("t"), 0.05))
+      .head().getLong(0))
 
-    val adj = sample.agg(
+    val adj = timed("stats-adj")(sample.agg(
       sum(adjPairs).as("adj"),
       sum(greatest(col("n_tok").cast("long") - 1L, lit(0L))).as("pairs"))
-      .head()
+      .head())
     val adjFrac =
       if (adj.isNullAt(1) || adj.getLong(1) == 0L) 0.0
       else adj.getLong(0).toDouble / adj.getLong(1)
 
     val fpXor = if (full.isNullAt(10)) 0L else full.getLong(10)
     val fingerprint = Hashing.sha256Hex(
-      s"rows=$rows;tokens=${if (full.isNullAt(1)) 0L else full.getLong(1)};xor=$fpXor")
+      s"rows=$rows;tokens=$tokensTotal0;" +
+        s"tmin=${if (full.isNullAt(5)) 0 else full.getInt(5)};" +
+        s"tmax=${if (full.isNullAt(6)) 0 else full.getInt(6)};xor=$fpXor")
 
     ColumnStats(
       rows = rows,
