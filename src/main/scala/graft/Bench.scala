@@ -1,5 +1,16 @@
 package graft
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+
+import graft.table.{GraftTable, Tokenize}
+
+/** Driver-contract benchmark: times every SparkEntry query at the given SF,
+  * plus the headline metrics from BASELINE.json — encode throughput
+  * (tokens/sec, min of GRAFT_BENCH_RUNS timed encodes after one warmup; the
+  * sandbox host carries heavy external load) and compression ratio vs the
+  * same table stored as Spark-default Parquet. Prints ONE JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +18,50 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // headline: encode throughput + compression on this SF's token table
+    val fs = new Path("/tmp/graft-bench").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = Tokenize.tokenTable(spark, sfDir).toDF()
+    val refDir = s"/tmp/graft-bench/ref-parquet-$sfTag"
+    if (!fs.exists(new Path(s"$refDir/_SUCCESS")))
+      base.write.mode("overwrite").parquet(refDir)
+    val refBytes = fs.getContentSummary(new Path(refDir)).getLength
+
+    val runs = sys.env.getOrElse("GRAFT_BENCH_RUNS", "3").toInt
+    def encodeOnce(tag: String): (Double, GraftTable.EncodeResult) = {
+      val dir = s"/tmp/graft-bench/bench-table-$sfTag-$tag"
+      fs.delete(new Path(dir), true)
+      val t0 = System.nanoTime()
+      val r = GraftTable.encode(base, dir, GraftTable.Options(targetRowsPerBlock = 128))
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    encodeOnce("warmup")
+    val timed = (1 to runs).map(i => encodeOnce(s"r$i"))
+    val encSec = timed.map(_._1).min
+    val enc = timed.head._2
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        f""""encode_sec":$encSec%.3f,"tokens":${enc.tokenCount},""" +
+        f""""tokens_per_sec":${enc.tokenCount / encSec}%.0f,""" +
+        s""""encoded_bytes":${enc.bytesTotal},"ref_parquet_bytes":$refBytes,""" +
+        f""""compression_vs_parquet":${enc.bytesTotal.toDouble / refBytes}%.4f,""" +
+        f""""compression_vs_plain":${enc.compressionVsPlain}%.4f}""")
     spark.stop()
   }
 }

@@ -41,6 +41,14 @@ object functions {
   def graft_range_bucket(key: Column, bounds: IndexedSeq[Long]): Column =
     GraftSql.column(expr.RangeBucket(GraftSql.expression(key), bounds))
 
+  /** MinHash signature (n seeded min-hashes) of an `array<string>` set. */
+  def graft_minhash(c: Column, numHashes: Int): Column =
+    GraftSql.column(expr.MinHashSig(GraftSql.expression(c), numHashes))
+
+  /** 64-bit SimHash of an `array<string>` multiset. */
+  def graft_simhash(c: Column): Column =
+    GraftSql.column(expr.SimHash64(GraftSql.expression(c)))
+
   /** Decode a graft payload back to `array<int>` (bit-identical). */
   def graft_decode(c: Column): Column =
     GraftSql.column(expr.GraftDecode(GraftSql.expression(c)))

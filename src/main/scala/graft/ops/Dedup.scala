@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{graft_minhash, graft_simhash}
+
+/** Deduplication operators for a large-scale training-data pipeline, over a
+  * `documents`-shaped table (`doc_id`, `text`, ...).
+  *
+  * Scale notes:
+  *   - exact dedup is a hash shuffle on the text digest — never on the full
+  *     text (a sha256 groupBy key is 32 B regardless of document size);
+  *   - MinHash-LSH generates candidates from band buckets (one explode +
+  *     one self-join per band bucket, quadratic ONLY within a bucket), then
+  *     verifies candidates with exact shingle-set Jaccard — brute-force
+  *     all-pairs never happens;
+  *   - SimHash candidates come from 16-bit band collisions, verified by
+  *     Hamming distance on the 64-bit sketches (bit_count(a XOR b));
+  *   - sketches are native Catalyst expressions (MinHashSig / SimHash64),
+  *     inside whole-stage codegen, not UDFs.
+  */
+object Dedup {
+
+  /** Word k-gram shingle set of a text column (distinct, order-free). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val words = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
+      i => array_join(slice(words, i, lit(k)), " ")))
+  }
+
+  /** Exact duplicates via content digest: `is_dup` marks every row after
+    * the first (by doc_id order) with the same text.
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("grp"))
+    val order = Window.partitionBy(col("grp"))
+      .orderBy(length(col("doc_id")), col("doc_id"))
+    docs
+      .withColumn("grp", sha2(col("text"), 256))
+      .withColumn("group_size", count(lit(1)).over(w).cast("long"))
+      .withColumn("rank_in_group", row_number().over(order).cast("long"))
+      .withColumn("is_dup", col("rank_in_group") > 1)
+      .select(col("doc_id"), col("group_size"), col("rank_in_group"), col("is_dup"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs, verified by exact Jaccard.
+    *
+    * numHashes = bands × rowsPerBand; a pair lands in the same bucket of
+    * band b iff their signatures agree on all rowsPerBand hashes of that
+    * band, so P(candidate) = 1-(1-j^r)^b — at the default (16 bands × 4)
+    * a Jaccard-0.9 pair is missed with probability ~1e-7. Candidates are
+    * then verified exactly, so the output contains no false positives.
+    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b (numeric order).
+    */
+  def minHashLsh(
+      docs: DataFrame,
+      shingleK: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.9): DataFrame = {
+    val spark = docs.sparkSession
+    val numHashes = bands * rowsPerBand
+
+    val sh = docs.select(
+      col("doc_id").cast("string").as("doc_id"),
+      shingles(col("text"), shingleK).as("sh"))
+    val sig = sh.withColumn("sig", graft_minhash(col("sh"), numHashes))
+
+    // band key = (band index, hash of the band's slice of the signature)
+    val banded = sig.select(
+      col("doc_id"), col("sh"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          // numeric doc_id order via (length, lexicographic)
+          (length(col("a.doc_id")) < length(col("b.doc_id")) ||
+            (length(col("a.doc_id")) === length(col("b.doc_id")) &&
+              col("a.doc_id") < col("b.doc_id"))))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b") // same pair from multiple bands
+
+    candidates
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit sketch, candidates from 16-bit
+    * band collisions (a pair within Hamming distance 3 collides on at least
+    * one of the 4 bands by pigeonhole), verified by exact Hamming distance.
+    */
+  def simHash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sk = docs.select(
+      col("doc_id").cast("string").as("doc_id"),
+      graft_simhash(split(col("text"), " ")).as("sk"))
+
+    val banded = sk.select(
+      col("doc_id"), col("sk"),
+      posexplode(transform(
+        sequence(lit(0), lit(3)),
+        b => call_function("shiftrightunsigned", col("sk"), b * 16).bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          (length(col("a.doc_id")) < length(col("b.doc_id")) ||
+            (length(col("a.doc_id")) === length(col("b.doc_id")) &&
+              col("a.doc_id") < col("b.doc_id"))))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sk").as("sk_a"), col("b.sk").as("sk_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sk_a").bitwiseXOR(col("sk_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Brute-force exact n-gram Jaccard pairs ≥ threshold — the correctness
+    * oracle for [[minHashLsh]]; quadratic, small inputs only.
+    */
+  def ngramJaccardBrute(docs: DataFrame, shingleK: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val sh = docs.select(
+      col("doc_id").cast("string").as("doc_id"),
+      shingles(col("text"), shingleK).as("sh"))
+    val a = sh.alias("a")
+    val b = sh.alias("b")
+    a.crossJoin(b)
+      .where(length(col("a.doc_id")) < length(col("b.doc_id")) ||
+        (length(col("a.doc_id")) === length(col("b.doc_id")) &&
+          col("a.doc_id") < col("b.doc_id")))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs over an embeddings table
+    * (vec_id, embedding: array<float>). LSH-bucketed by random-hyperplane
+    * sign bits (deterministic pseudo-planes), verified by exact cosine.
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.95, signBits: Int = 8): DataFrame = {
+    val withSig = emb.select(
+      col("vec_id").cast("long").as("vec_id"),
+      col("embedding"),
+      Similarity.hyperplaneSig(col("embedding"), signBits).as("bucket"))
+    val a = withSig.alias("a")
+    val b = withSig.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Training-pipeline operator tests: dedup (exact / MinHash-LSH / SimHash /
+  * brute Jaccard / embedding), similarity search, text analysis — against
+  * the real sf0.001 testdata plus crafted duplicates where the corpus lacks
+  * them.
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val SfDir = "/root/testdata/sf0.001"
+  private lazy val docs =
+    spark.read.parquet(s"$SfDir/documents.parquet").cache()
+  private lazy val emb =
+    spark.read.parquet(s"$SfDir/embeddings.parquet").cache()
+
+  test("exact dedup: planted duplicates are flagged, originals kept") {
+    val planted = docs.select(col("doc_id").cast("string"), col("text"))
+      .unionAll(docs.where(col("doc_id") < 5)
+        .select(concat(lit("9000"), col("doc_id")).as("doc_id"), col("text")))
+    val out = Dedup.exact(planted)
+    assert(out.where(col("is_dup")).count() == 5)
+    // the kept row of each dup group is the shortest/smallest doc_id
+    val kept = out.where(!col("is_dup") && col("group_size") > 1)
+      .select("doc_id").as[String].collect().toSet
+    assert(kept == Set("0", "1", "2", "3", "4"))
+    // without planting, the corpus has no exact dups
+    assert(Dedup.exact(docs).where(col("is_dup")).count() == 0)
+  }
+
+  test("minhash-LSH finds exactly the brute-force near-dup pairs (sf0.001)") {
+    val lsh = Dedup.minHashLsh(docs, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(String, String)].collect().toSet
+    val brute = Dedup.ngramJaccardBrute(docs, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(String, String)].collect().toSet
+    assert(brute.nonEmpty, "corpus should contain planted near-duplicates")
+    assert(lsh == brute)
+  }
+
+  test("simhash: near-identical long docs land far closer than unrelated ones") {
+    // SimHash needs enough terms for the per-bit counters to concentrate;
+    // replicate each text 20× so a single-word change perturbs counters by
+    // ±2 against a ~sqrt(1000) magnitude. A = base, B = one word changed,
+    // C = a different document.
+    val texts = docs.orderBy("doc_id").limit(2)
+      .select("text").as[String].collect()
+    val a = ((texts(0) + " ") * 20).trim
+    val b = ("zzz" + a.dropWhile(_ != ' '))
+    val c = ((texts(1) + " ") * 20).trim
+    val df = Seq(("a", a), ("b", b), ("c", c)).toDF("id", "text")
+      .select(col("id"), graft.functions.graft_simhash(split(col("text"), " ")).as("sk"))
+    val sk = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sk("a"), sk("b")) <= 8, s"near-dup hamming ${ham(sk("a"), sk("b"))}")
+    assert(ham(sk("a"), sk("b")) < ham(sk("a"), sk("c")),
+      s"${ham(sk("a"), sk("b"))} !< ${ham(sk("a"), sk("c"))}")
+
+    // and the pair pipeline surfaces an exact replica at hamming 0
+    val planted = docs.select(col("doc_id").cast("string"), col("text"))
+      .unionAll(docs.where(col("doc_id") === 7)
+        .select(lit("90007").as("doc_id"), col("text")))
+    val found = Dedup.simHash(planted, maxHamming = 0)
+      .select("doc_a", "doc_b").as[(String, String)].collect().toSet
+    assert(found.contains(("7", "90007")))
+  }
+
+  test("embedding near-dup: planted twin vectors are found via LSH buckets") {
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .unionAll(emb.where(col("vec_id") < 3)
+        .select((col("vec_id") + 9000).as("vec_id"), col("embedding")))
+    val pairs = Dedup.embeddingNearDup(planted, threshold = 0.999)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    (0 until 3).foreach { i =>
+      assert(pairs.contains((i.toLong, 9000L + i)), s"missing twin $i")
+    }
+  }
+
+  test("brute-force cosine top-k is sane and self-consistent") {
+    val queries = emb.where(col("vec_id") < 3)
+    val out = Similarity.bruteForceTopK(emb, queries, k = 5)
+    assert(out.count() == 15)
+    // ranks are 1..5 per query, descending cosine
+    val byQ = out.orderBy("query_id", "rank")
+      .select("query_id", "rank", "cosine").collect()
+      .groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val sims = rows.map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+    // self is excluded
+    assert(out.where(col("query_id") === col("vec_id")).count() == 0)
+  }
+
+  test("LSH top-k returns a subset ranking consistent with brute force") {
+    val queries = emb.where(col("vec_id") < 5)
+    val lsh = Similarity.lshTopK(emb, queries, k = 3, planes = 4)
+    // every LSH hit appears in the brute-force full ranking of that query
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 500)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val hits = lsh.select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(hits.nonEmpty)
+    hits.foreach(h => assert(brute.contains(h)))
+  }
+
+  test("quality signals + token counts are computed for every doc") {
+    val q = TextAnalysis.quality(docs)
+    assert(q.count() == 500)
+    assert(q.where(col("n_stop") > col("n_words")).count() == 0)
+    assert(q.where(col("distinct_ratio") > 1.0 || col("distinct_ratio") <= 0.0).count() == 0)
+    assert(q.where(col("mean_word_len") <= 0.0).count() == 0)
+    val t = TextAnalysis.tokenCounts(docs)
+    // space-separated lowercase words: ws and bpe-ish counts agree here
+    assert(t.where(col("ws_tokens") =!= col("bpe_tokens")).count() == 0)
+  }
+
+  test("langid pipeline predicts the majority structure deterministically") {
+    val out = TextAnalysis.langId(docs).cache()
+    assert(out.count() == 500) // one prediction per doc
+    val out2 = TextAnalysis.langId(docs)
+    // deterministic: same predictions on re-run
+    assert(out.select("doc_id", "lang_pred").except(
+      out2.select("doc_id", "lang_pred")).count() == 0)
+    // the integer scorer is biased to the largest lang slice; with a shared
+    // vocab it must still produce a valid lang for every doc
+    val langs = docs.select("lang").distinct().as[String].collect().toSet
+    assert(out.select("lang_pred").as[String].collect().forall(langs.contains))
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    val fp = TextAnalysis.fingerprint(docs)
+    assert(fp.select(countDistinct("fingerprint")).as[Long].head() > 490)
+    val swapped = docs.withColumn("text",
+      concat_ws(" ", reverse(split(col("text"), " "))))
+    val fp2 = TextAnalysis.fingerprint(swapped)
+    val joined = fp.alias("a").join(fp2.alias("b"), "doc_id")
+      .where(col("a.fingerprint") === col("b.fingerprint"))
+    // reversing word order changes (almost) every fingerprint
+    assert(joined.count() < 5)
+  }
+}
