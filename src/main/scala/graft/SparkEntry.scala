@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{graft_decode, graft_encode}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
 import graft.table.{GraftTable, Tokenize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -143,6 +144,91 @@ object SparkEntry {
           col("plain_bytes").cast("long").as("plain_bytes"),
           col("dict_hash_tokens"))
         .orderBy("block_id")
+    }),
+
+    // ---- training-pipeline ops (documents / embeddings tables) ----
+
+    // exact dedup: digest groupBy + keep-first ranking
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("string"), col("text")))
+        .orderBy(length(col("doc_id")), col("doc_id"))
+    }),
+
+    // MinHash-LSH near-dup pairs, verified by exact Jaccard; the oracle is
+    // the brute-force shingle-set Jaccard — equality proves LSH recall
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minHashLsh(
+        s.read.parquet(s"$dir/documents.parquet"), threshold = 0.9)
+        .select(
+          col("doc_a"), col("doc_b"),
+          round(col("jaccard") * 1e6).cast("long").as("jaccard_ppm"))
+        .orderBy(length(col("doc_a")), col("doc_a"),
+          length(col("doc_b")), col("doc_b"))
+    }),
+
+    // SimHash near-dup pairs (engine-defined sketch → rows-only check)
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simHash(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").cast("string"), col("text"))
+          .unionAll(s.read.parquet(s"$dir/documents.parquet")
+            .where(col("doc_id") < 3)
+            .select(concat(lit("9"), col("doc_id")).as("doc_id"), col("text"))),
+        maxHamming = 0)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // embedding near-dup pairs, brute-force cosine (exact baseline)
+    "q_embed_pairs" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val a = emb.alias("a")
+      val b = emb.alias("b")
+      a.crossJoin(b)
+        .where(col("a.vec_id") < col("b.vec_id"))
+        .where(Similarity.cosine(col("a.embedding"), col("b.embedding")) >= 0.46)
+        .select(
+          col("a.vec_id").cast("long").as("vec_a"),
+          col("b.vec_id").cast("long").as("vec_b"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // ANN baseline: brute-force cosine top-5 for the first 10 vectors
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // text quality signals (ratios as ppm integers: engine-exact compare)
+    "q_text_quality" -> ((s, dir) => {
+      TextAnalysis.quality(s.read.parquet(s"$dir/documents.parquet"))
+        .select(
+          col("doc_id"), col("n_words"), col("n_distinct"),
+          col("n_chars"), col("n_stop"),
+          round(col("distinct_ratio") * 1e6).cast("long").as("distinct_ppm"),
+          round(col("stop_ratio") * 1e6).cast("long").as("stop_ppm"),
+          col("quality_ok"))
+        .orderBy(length(col("doc_id")), col("doc_id"))
+    }),
+
+    // token counting: whitespace + BPE-ish regex
+    "q_token_count" -> ((s, dir) => {
+      TextAnalysis.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(length(col("doc_id")), col("doc_id"))
+    }),
+
+    // corpus-trained language id (integer scoring → exact argmax)
+    "q_langid" -> ((s, dir) => {
+      TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(length(col("doc_id")), col("doc_id"))
+    }),
+
+    // order-sensitive rolling fingerprint
+    "q_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(length(col("doc_id")), col("doc_id"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -247,5 +333,107 @@ object SparkEntry {
         |SELECT c.codec, t.docs, t.tokens, t.checksum_sum
         |FROM (VALUES ('plain'),('bitpack'),('for'),('delta_for'),('rle'),('dict'),('fsst')) c(codec)
         |CROSS JOIN tot t
-        |ORDER BY c.codec""".stripMargin)
+        |ORDER BY c.codec""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |       CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS group_size,
+        |       CAST(row_number() OVER (PARTITION BY text
+        |         ORDER BY length(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS BIGINT) AS rank_in_group,
+        |       (row_number() OVER (PARTITION BY text
+        |         ORDER BY length(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) > 1) AS is_dup
+        |FROM documents
+        |ORDER BY length(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |         list_distinct([array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+        |           for i in range(1, greatest(len(string_split(text,' '))-2, 1)+1)]) AS s
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(round(1000000.0 * (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |         / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE))) AS BIGINT) AS jaccard_ppm
+        |FROM sh a JOIN sh b
+        |  ON (length(a.doc_id) < length(b.doc_id)
+        |      OR (length(a.doc_id) = length(b.doc_id) AND a.doc_id < b.doc_id))
+        |WHERE (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |       / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)) >= 0.9
+        |ORDER BY length(doc_a), doc_a, length(doc_b), doc_b""".stripMargin,
+
+    "q_embed_pairs" ->
+      """SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.46
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank,
+        |       CAST(vec_id AS BIGINT) AS vec_id
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |         string_split(text, ' ') AS ws,
+        |         length(text) AS n_chars
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(ws) AS BIGINT) AS n_words,
+        |       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+        |       CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(len(list_filter(ws, w -> w IN ('the','a'))) AS BIGINT) AS n_stop,
+        |       CAST(round(1000000.0 * (CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE))) AS BIGINT) AS distinct_ppm,
+        |       CAST(round(1000000.0 * (CAST(len(list_filter(ws, w -> w IN ('the','a'))) AS DOUBLE) / CAST(len(ws) AS DOUBLE))) AS BIGINT) AS stop_ppm,
+        |       (len(ws) >= 10
+        |         AND (CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) >= 0.2
+        |         AND (CAST(len(list_filter(ws, w -> w IN ('the','a'))) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) <= 0.5) AS quality_ok
+        |FROM t
+        |ORDER BY length(doc_id), doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents
+        |ORDER BY length(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)""".stripMargin,
+
+    "q_langid" ->
+      """WITH words AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+        |         unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), model AS (
+        |  SELECT word, lang AS cand_lang, count(*) AS w_cnt
+        |  FROM words GROUP BY word, lang
+        |), scored AS (
+        |  SELECT w.doc_id, w.lang, m.cand_lang, CAST(sum(m.w_cnt) AS BIGINT) AS score
+        |  FROM words w JOIN model m ON w.word = m.word
+        |  GROUP BY w.doc_id, w.lang, m.cand_lang
+        |)
+        |SELECT doc_id, lang AS lang_actual, cand_lang AS lang_pred, score,
+        |       (cand_lang = lang) AS hit
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) = 1
+        |ORDER BY length(doc_id), doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |       CAST(list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           [CAST((ascii(substring(w,1,1))*131 + ascii(substring(reverse(w),1,1))*31 + length(w)) % 2147483647 AS BIGINT)
+        |            for w in string_split(text, ' ')]),
+        |         (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT) AS fingerprint
+        |FROM documents
+        |ORDER BY length(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)""".stripMargin)
 }

@@ -89,9 +89,11 @@ object TextAnalysis {
     val words = split(col("text"), " ")
     // Horner over word hashes: h = (h * 31 + wordScore) mod p, where
     // wordScore = length-weighted first/last char codes (integer, portable)
+    // first char, last char (via reverse — negative substring offsets are
+    // not portable), and length: all exact integers in any engine
     val wordScore: Column => Column = w =>
       (ascii(substring(w, 1, 1)).cast("long") * 131L +
-        ascii(substring(w, -1, 1)).cast("long") * 31L +
+        ascii(substring(reverse(w), 1, 1)).cast("long") * 31L +
         length(w).cast("long")) % p
     docs.select(
       col("doc_id").cast("string").as("doc_id"),

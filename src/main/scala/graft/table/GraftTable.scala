@@ -257,16 +257,37 @@ object GraftTable {
       contentSig, complete)
   }
 
+  /** Range-block bounds from a hash-strided key sample. Two properties a
+    * plain `df.sample(seed)` + approxQuantile would NOT give:
+    *   - layout independence: `sample()` seeds per partition, so the chosen
+    *     rows (hence bounds, hence every block payload) would change with
+    *     input split sizes / cluster parallelism. Selecting rows by
+    *     `xxhash64(key) % stride == 0` depends only on the VALUES —
+    *     identical bounds at local[2] and on 1000 executors;
+    *   - exact cut points: the sample (≤ max(sampleRows, 8·numBlocks) rows)
+    *     is globally sorted once and boundary rows are picked by rank —
+    *     no sketch-merge nondeterminism.
+    */
   private def computeBounds(
       keyed: DataFrame, rows: Long, targetRows: Int, sampleRows: Long): IndexedSeq[Long] = {
     val numBlocks = math.max(1L, (rows + targetRows - 1) / targetRows.toLong)
     if (numBlocks <= 1) return IndexedSeq.empty
-    val frac = if (rows <= sampleRows) 1.0 else sampleRows.toDouble / rows
-    val s = if (frac >= 1.0) keyed
-    else keyed.sample(withReplacement = false, frac, Stats.SampleSeed)
-    val probs = (1L until numBlocks).map(_.toDouble / numBlocks).toArray
-    s.stat.approxQuantile("_graft_key", probs, 0.001)
-      .map(_.toLong).distinct.sorted.toIndexedSeq
+    val budget = math.max(sampleRows, numBlocks * 8L)
+    val stride = math.max(1L, rows / budget)
+    val s = keyed
+      .where(col("_graft_key").isNotNull &&
+        pmod(xxhash64(col("_graft_key")), lit(stride)) === 0)
+      .select(col("_graft_key").as("k"))
+    val cnt = s.count()
+    if (cnt < numBlocks) // degenerate: few distinct sampled keys — one block
+      return IndexedSeq.empty
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+    s.withColumn("rn", row_number().over(w))
+      // boundary rows: where floor(rn·numBlocks/cnt) crosses a bucket edge
+      .where((col("rn") * numBlocks).divide(cnt).cast("long") =!=
+        ((col("rn") - 1) * numBlocks).divide(cnt).cast("long"))
+      .where(col("rn") =!= 1 && col("rn") =!= cnt) // interior cuts only
+      .select("k").collect().map(_.getLong(0)).distinct.sorted.toIndexedSeq
   }
 
   // -------------------------------------------------------------- decode

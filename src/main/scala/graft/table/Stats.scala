@@ -94,13 +94,18 @@ object Stats {
 
     val rows = full.getLong(0)
     // sample budget counts TOKENS, not rows: the sampled stats iterate every
-    // token, so a million 50k-token rows must not slip through a row cap
+    // token, so a million 50k-token rows must not slip through a row cap.
+    // Row selection is hash-strided on doc_id (a pure function of the data,
+    // NOT df.sample whose per-partition seeding changes with input layout):
+    // the sampled stats gate codec candidates, so they must be identical at
+    // any parallelism for payloads to be identical.
     val tokensTotal0 = if (full.isNullAt(1)) 0L else full.getLong(1)
     val avgTok = if (rows == 0) 1.0 else math.max(1.0, tokensTotal0.toDouble / rows)
     val rowBudget = math.max(1L, (sampleRows.toDouble / avgTok).toLong)
-    val frac = if (rows <= rowBudget) 1.0 else rowBudget.toDouble / rows
+    val stride = math.max(1L, rows / rowBudget)
     val sample =
-      if (frac >= 1.0) keyed else keyed.sample(withReplacement = false, frac, SampleSeed)
+      if (stride <= 1L) keyed
+      else keyed.where(pmod(xxhash64(col("doc_id")), lit(stride)) === 0)
 
     // adjacent-repeat pairs per row: zip tokens with its own 1-shift
     val adjPairs = aggregate(

@@ -144,6 +144,22 @@ class TableSpec extends AnyFunSuite {
     assert(a.bytesTotal == b.bytesTotal)
   }
 
+  test("layout independence: input partitioning does not change the table") {
+    // the same rows arriving as 1 partition vs 13 partitions (as happens
+    // across cluster sizes / file split settings) must produce identical
+    // bounds, block payloads, and snapshot ids — sampling is hash-strided
+    // on values, never partition-seeded
+    val dirA = tmpDir("layA")
+    val dirB = tmpDir("layB")
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    val a = GraftTable.encode(source.toDF().repartition(1), dirA, opts)
+    val b = GraftTable.encode(source.toDF().repartition(13), dirB, opts)
+    assert(a.contentSig == b.contentSig)
+    assert(a.snapshotId == b.snapshotId)
+    assert(a.bytesTotal == b.bytesTotal)
+    assert(a.numBlocks == b.numBlocks)
+  }
+
   test("stats pass: sampled column statistics gate codec candidates") {
     val keyed = source.toDF().withColumn("_graft_key",
       expr("coalesce(try_cast(doc_id as bigint), xxhash64(doc_id))"))
