@@ -229,6 +229,31 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy(length(col("doc_id")), col("doc_id"))
+    }),
+
+    // E14: explicit salted two-phase aggregation (skew machinery) — result
+    // must equal a plain groupBy count, which is exactly what the oracle is
+    "q_skew_salted" -> ((s, dir) => {
+      graft.table.Skew.saltedKeyCounts(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("source"), col("doc_id"))
+        .select(col("key").as("source"), col("cnt").cast("long").as("cnt"))
+        .orderBy("source")
+    }),
+
+    // multimodal plumbing: synthetic media payloads → stub decode; header
+    // fields and body bytes are pure functions of n_chars/text, so DuckDB
+    // can recompute them without touching the binary
+    "q_media_probe" -> ((s, dir) => {
+      graft.ops.Multimodal.pipeline(
+        graft.ops.Multimodal.syntheticMedia(s.read.parquet(s"$dir/documents.parquet")))
+        .select(
+          col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("body_bytes").cast("long").as("body_bytes"),
+          col("frames_kept").cast("long").as("frames_kept"))
+        .orderBy(length(col("doc_id")), col("doc_id"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -434,6 +459,19 @@ object SparkEntry {
         |           [CAST((ascii(substring(w,1,1))*131 + ascii(substring(reverse(w),1,1))*31 + length(w)) % 2147483647 AS BIGINT)
         |            for w in string_split(text, ' ')]),
         |         (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT) AS fingerprint
+        |FROM documents
+        |ORDER BY length(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)""".stripMargin,
+
+    "q_skew_salted" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS cnt
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_media_probe" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |       CAST(n_chars % 640 + 16 AS BIGINT) AS width,
+        |       CAST(n_chars % 480 + 16 AS BIGINT) AS height,
+        |       CAST(length(text) AS BIGINT) AS body_bytes,
+        |       CAST(ceil(floor((length(text)) / 64) / 2.0) AS BIGINT) AS frames_kept
         |FROM documents
         |ORDER BY length(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)""".stripMargin)
 }
