@@ -55,6 +55,27 @@ object SketchRuntime {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** Cosine similarity, double precision, sequential accumulation — must
+    * match the HOF formulation bit for bit (same op order).
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"dim mismatch: $n vs ${b.numElements()}")
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** 64-bit SimHash over the element multiset: bit b of the result is 1 iff
     * the sum over elements of sign(bit b of hash(elem)) is positive. Near-
     * identical documents differ in few bits (small Hamming distance).
@@ -80,6 +101,38 @@ object SketchRuntime {
     }
     out
   }
+}
+
+/** `graft_cosine(array<float>, array<float>)` -> double cosine similarity.
+  * Same sequential double-precision recurrence as the HOF formulation
+  * (identical results), but codegen'd — the HOF lambdas evaluate
+  * interpreted per element, which dominated the all-pairs similarity scan
+  * (measured ~18× slower).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def floatArray(e: Expression, fn: String): TypeCheckResult = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn expects array<float>, got ${other.catalogString}")
+  }
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = floatArray(left, prettyName)
+    if (l.isFailure) l else floatArray(right, prettyName)
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SketchRuntime.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.SketchRuntime.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_minhash(array<string>, n)` -> array<bigint> MinHash signature. */

