@@ -241,6 +241,31 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // R7/R8: catalog registration + spark.sql over the DECODED view — the
+    // Hive-delegation analogue; oracle recomputes from raw documents
+    "q_sql_view" -> ((s, dir) => {
+      val tdir = encodedTableDir(s, dir)
+      GraftTable.registerViews(s, tdir, "graft")
+      s.sql(
+        """SELECT source,
+          |       CAST(count(*) AS BIGINT) AS docs,
+          |       CAST(sum(n_tok) AS BIGINT) AS tokens,
+          |       CAST(min(n_tok) AS BIGINT) AS min_tok,
+          |       CAST(max(n_tok) AS BIGINT) AS max_tok
+          |FROM graft
+          |GROUP BY source
+          |ORDER BY source""".stripMargin)
+    }),
+
+    // R9/E3: introspection — per-(column, codec) selection evidence
+    "q_describe" -> ((s, dir) => {
+      GraftTable.describe(s, encodedTableDir(s, dir))
+        .select(col("column"), col("codec"),
+          col("blocks").cast("long").as("blocks"),
+          col("bytes").cast("long").as("bytes"))
+        .orderBy("column", "codec")
+    }),
+
     // multimodal plumbing: synthetic media payloads → stub decode; header
     // fields and body bytes are pure functions of n_chars/text, so DuckDB
     // can recompute them without touching the binary
@@ -465,6 +490,19 @@ object SparkEntry {
     "q_skew_salted" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS cnt
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_sql_view" ->
+      """WITH per_doc AS (
+        |  SELECT source, len(string_split(text,' ')) AS n_tok FROM documents
+        |)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |       CAST(min(n_tok) AS BIGINT) AS min_tok,
+        |       CAST(max(n_tok) AS BIGINT) AS max_tok
+        |FROM per_doc
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_media_probe" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -321,6 +321,32 @@ object GraftTable {
       .as[TokenRow]
   }
 
+  /** Catalog registration (the ebenezer Hive-metastore analogue, SURVEY.md
+    * R7/R8): exposes the encoded table to `spark.sql` as three views —
+    * `<name>_blocks` (encoded payloads), `<name>_manifest` (codec/lineage
+    * metadata), `<name>` (the decoded, input-shaped token table).
+    */
+  def registerViews(spark: SparkSession, tableDir: String, name: String = "graft"): Unit = {
+    readBlocks(spark, tableDir).createOrReplaceTempView(s"${name}_blocks")
+    readManifest(spark, tableDir).createOrReplaceTempView(s"${name}_manifest")
+    decode(spark, tableDir).toDF().createOrReplaceTempView(name)
+  }
+
+  /** Introspection (SURVEY.md R9/E3): one row per (column, codec) with
+    * block counts and byte totals, plus snapshot-level rollups — the
+    * "what did the selector decide and what did it cost" view.
+    */
+  def describe(spark: SparkSession, tableDir: String): DataFrame = {
+    val man = readManifest(spark, tableDir)
+    Seq("doc_id", "tokens", "n_tok", "source").map { c =>
+      man.groupBy(col(s"codec_$c").as("codec"))
+        .agg(
+          count(lit(1)).as("blocks"),
+          sum(col(s"bytes_$c")).as("bytes"))
+        .select(lit(c).as("column"), col("codec"), col("blocks"), col("bytes"))
+    }.reduce(_ unionAll _)
+  }
+
   def readManifest(spark: SparkSession, tableDir: String, snap: Snapshot): DataFrame =
     spark.read.json(snap.manifestDirs.map(d => s"$tableDir/$d"): _*)
 
