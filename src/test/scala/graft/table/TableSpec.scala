@@ -190,6 +190,20 @@ class TableSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("non-numeric doc_ids fall back to the hash key strategy and round-trip") {
+    import spark.implicits._
+    val alpha = source.toDF()
+      .withColumn("doc_id", concat(lit("doc-"), col("doc_id")))
+    val dir = tmpDir("hashkey")
+    val res = GraftTable.encode(alpha, dir, GraftTable.Options(targetRowsPerBlock = 64))
+    assert(res.complete && res.rowCount == 500)
+    assert(res.numBlocks > 1) // hash keys still spread into range blocks
+    val decoded = GraftTable.decode(spark, dir)
+      .toDF().select("doc_id").as[String].collect().sorted
+    val expected = alpha.select("doc_id").as[String].collect().sorted
+    assert(decoded.sameElements(expected))
+  }
+
   test("input change invalidates resume (fingerprint mismatch → fresh encode)") {
     val dir = tmpDir("fp")
     val opts = GraftTable.Options(targetRowsPerBlock = 128)
