@@ -65,22 +65,117 @@ object IntBlocks {
 
   def encodeAuto(values: Array[Int]): Array[Byte] = encodeAutoChoice(values)._1
 
-  /** Trial-encode all applicable codecs, return the smallest payload and the
-    * full candidate-size map (recorded in manifests as selection evidence).
-    * Deterministic: ties break toward the lower codec id.
+  // --------------------------------------------- analytic candidate sizing
+  //
+  // The selector is still exact-trial-based (smallest payload wins, ties to
+  // the lower codec id), but candidate sizes for the arithmetic codecs are
+  // computed from one O(n) stats pass instead of materializing every
+  // encoding: only the winner (and FSST, whose symbol table is inherently
+  // constructive) allocates output bytes. Exactness is enforced by a
+  // property test: exactSize(id, values) == encodeWith(id, values).length.
+
+  private def varLen(v: Long): Int = (63 - java.lang.Long.numberOfLeadingZeros(v | 1L)) / 7 + 1
+  private def zzLen(v: Int): Int = varLen(((v << 1) ^ (v >> 31)) & 0xFFFFFFFFL)
+  private def zzLenL(v: Long): Int = varLen((v << 1) ^ (v >> 63))
+
+  private final class Analysis(values: Array[Int]) {
+    val n: Int = values.length
+    var min: Int = Int.MaxValue
+    var max: Int = Int.MinValue
+    var minD: Long = Long.MaxValue
+    var maxD: Long = Long.MinValue
+    var rleBody: Long = 0L
+    locally {
+      var i = 0
+      var runStart = 0
+      while (i < n) {
+        val v = values(i)
+        if (v < min) min = v
+        if (v > max) max = v
+        if (i > 0) {
+          val d = v.toLong - values(i - 1).toLong
+          if (d < minD) minD = d
+          if (d > maxD) maxD = d
+          if (v != values(i - 1)) {
+            rleBody += zzLen(values(runStart)) + varLen(i - runStart)
+            runStart = i
+          }
+        }
+        i += 1
+      }
+      if (n > 0) rleBody += zzLen(values(runStart)) + varLen(n - runStart)
+    }
+
+    def sizePlain: Int = 1 + varLen(n) + 4 * n
+    def sizeBitpack: Option[Int] =
+      if (n > 0 && min < 0) None
+      else if (n == 0) Some(1 + varLen(n) + 1) // width byte always written
+      else Some(1 + varLen(n) + 1 + BitPack.packedBytes(n, BitPack.bits(max)).toInt)
+    def sizeFor: Int =
+      if (n == 0) 1 + varLen(n)
+      else 1 + varLen(n) + zzLen(min) + 1 +
+        BitPack.packedBytes(n, BitPack.bits(max.toLong - min.toLong)).toInt
+    def sizeDeltaFor: Int =
+      if (n == 0) 1 + varLen(n)
+      else if (n == 1) 1 + varLen(n) + zzLen(values(0))
+      else 1 + varLen(n) + zzLen(values(0)) + zzLenL(minD) + 1 +
+        BitPack.packedBytes(n - 1, BitPack.bits(maxD - minD)).toInt
+    def sizeRle: Int = 1 + varLen(n) + rleBody.toInt
+  }
+
+  /** Exact payload size of `id` over `values` without materializing it
+    * (DICT/FSST return None — constructive only). Package-visible for the
+    * exactness property test.
+    */
+  private[codec] def exactSize(id: Int, values: Array[Int]): Option[Int] = {
+    val a = new Analysis(values)
+    id match {
+      case PLAIN => Some(a.sizePlain)
+      case BITPACK => a.sizeBitpack
+      case FOR => Some(a.sizeFor)
+      case DELTA_FOR => Some(a.sizeDeltaFor)
+      case RLE => Some(a.sizeRle)
+      case _ => None
+    }
+  }
+
+  /** Select the smallest codec (exact sizes, analytic where possible) and
+    * materialize only the winner. Deterministic: ties break toward the
+    * lower codec id. The candidate-size map is exact selection evidence.
     */
   def encodeAutoChoice(
       values: Array[Int],
       allowDict: Boolean = true,
       allowFsst: Boolean = true): (Array[Byte], Choice) = {
     val cands = candidateIds(values, allowDict, allowFsst)
-    var best: Array[Byte] = null
-    var bestId = -1
+    val a = new Analysis(values)
     val sizes = mutable.LinkedHashMap.empty[String, Int]
+    var fsstPayload: Array[Byte] = null
+    var dictPayload: Array[Byte] = null
+    cands.foreach {
+      case PLAIN => sizes(names(PLAIN)) = a.sizePlain
+      case BITPACK => a.sizeBitpack.foreach(sizes(names(BITPACK)) = _)
+      case FOR => sizes(names(FOR)) = a.sizeFor
+      case DELTA_FOR => sizes(names(DELTA_FOR)) = a.sizeDeltaFor
+      case RLE => sizes(names(RLE)) = a.sizeRle
+      case DICT =>
+        dictPayload = encodeWith(DICT, values)
+        sizes(names(DICT)) = dictPayload.length
+      case FSST =>
+        fsstPayload = encodeWith(FSST, values)
+        sizes(names(FSST)) = fsstPayload.length
+    }
+    var bestId = -1
+    var bestSize = Int.MaxValue
     cands.foreach { id =>
-      val enc = encodeWith(id, values)
-      sizes(names(id)) = enc.length
-      if (best == null || enc.length < best.length) { best = enc; bestId = id }
+      sizes.get(names(id)).foreach { s =>
+        if (s < bestSize) { bestSize = s; bestId = id }
+      }
+    }
+    val best = bestId match {
+      case FSST => fsstPayload
+      case DICT => dictPayload
+      case id => encodeWith(id, values)
     }
     (best, Choice(bestId, best.length, sizes.toMap))
   }

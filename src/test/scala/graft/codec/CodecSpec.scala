@@ -48,6 +48,23 @@ class CodecSpec extends AnyFunSuite with SeededGens {
     } yield vs.toArray))
 
   for ((name, gen) <- regimes) {
+    test(s"analytic candidate sizes equal materialized sizes: $name") {
+      samples(gen, 30).foreach { a =>
+        val nonNeg = a.forall(_ >= 0)
+        val ids = Seq(IntBlocks.PLAIN, IntBlocks.FOR, IntBlocks.DELTA_FOR,
+          IntBlocks.RLE) ++ (if (nonNeg) Seq(IntBlocks.BITPACK) else Nil)
+        ids.foreach { id =>
+          IntBlocks.exactSize(id, a).foreach { sz =>
+            val actual = IntBlocks.encodeWith(id, a).length
+            assert(sz == actual,
+              s"analytic $sz != actual $actual for ${IntBlocks.names(id)} on $name (n=${a.length})")
+          }
+        }
+      }
+    }
+  }
+
+  for ((name, gen) <- regimes) {
     test(s"every applicable codec round-trips bit-identically: $name") {
       samples(gen, 30).foreach { a =>
         val nonNeg = a.forall(_ >= 0)
