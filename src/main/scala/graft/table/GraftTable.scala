@@ -203,6 +203,23 @@ object GraftTable {
         p.blocksEncoded, p.rowCount, p.tokenCount, p.bytesTotal, p.plainBytes,
         p.contentSig, p.complete)
     }
+    if (newBlocks == 0) {
+      // empty input, no parent: commit an empty (complete) snapshot —
+      // spark.read.json cannot infer a schema from a rowless manifest dir
+      delete(spark, s"$tableDir/$dataDir")
+      val snapshotId = Hashing.sha256Hex(
+        s"v$ver;parent=none;fp=${stats.fingerprint};empty")
+      val snap = Snapshot(ver, snapshotId, None, stats.fingerprint,
+        KeyStrategy, bounds, numBlocks = 0, blocksEncoded = 0L,
+        complete = true, rowCount = 0L, tokenCount = 0L, bytesTotal = 0L,
+        plainBytes = 0L, contentSig = "0" * 16, dataDirs = Nil,
+        manifestDirs = Nil, stats = stats.asJsonFields,
+        committedAt = java.time.Instant.now().toString)
+      writeString(spark, s"$tableDir/metadata/v$ver.json", renderSnapshot(snap))
+      writeString(spark, s"$tableDir/metadata/current", ver.toString)
+      return EncodeResult(ver, snapshotId, 0, 0L, 0L, 0L, 0L, 0L, 0L,
+        snap.contentSig, complete = true)
+    }
 
     val manifestDir = s"manifests/v$ver"
     timed("manifest-write")(manifest.write.mode("overwrite").json(s"$tableDir/$manifestDir"))
@@ -299,7 +316,10 @@ object GraftTable {
   def readBlocks(spark: SparkSession, tableDir: String): DataFrame = {
     val snap = currentSnapshot(spark, tableDir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
-    spark.read.parquet(snap.dataDirs.map(d => s"$tableDir/$d"): _*)
+    if (snap.dataDirs.isEmpty) {
+      import spark.implicits._
+      spark.emptyDataset[BlockRow].toDF()
+    } else spark.read.parquet(snap.dataDirs.map(d => s"$tableDir/$d"): _*)
   }
 
   /** Decode the current snapshot back to the input-shaped token table.

@@ -139,7 +139,7 @@ object Stats {
     ColumnStats(
       rows = rows,
       tokensTotal = if (full.isNullAt(1)) 0L else full.getLong(1),
-      keyNulls = full.getLong(2),
+      keyNulls = if (full.isNullAt(2)) 0L else full.getLong(2),
       keyMin = if (full.isNullAt(3)) 0L else full.getLong(3),
       keyMax = if (full.isNullAt(4)) 0L else full.getLong(4),
       tokMin = if (full.isNullAt(5)) 0 else full.getInt(5),

@@ -190,6 +190,41 @@ class TableSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("scalacheck-arbitrary token tables round-trip through the full table") {
+    // the direct analogue of ebenezer's arbitrary-thrift-struct serde specs
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val genRow: Gen[TokenRow] = for {
+      id <- Gen.choose(0L, 1000000L)
+      n <- Gen.choose(0, 200)
+      toks <- Gen.listOfN(n, Gen.choose(Int.MinValue, Int.MaxValue))
+      src <- Gen.oneOf("alpha", "beta", "γ/δ", "", "with space")
+    } yield TokenRow(id.toString, toks.toArray, n, src)
+    (0 until 3).foreach { seed =>
+      val rows = (0 until 400).flatMap(i =>
+        genRow(Gen.Parameters.default.withSize(100), Seed(seed * 1000L + i)))
+        .groupBy(_.doc_id).map(_._2.head).toSeq // unique doc_ids
+      val df = rows.toDF()
+      val dir = tmpDir(s"arb$seed")
+      val res = GraftTable.encode(df, dir, GraftTable.Options(targetRowsPerBlock = 50))
+      assert(res.complete)
+      val back = GraftTable.decode(spark, dir).collect()
+        .map(r => (r.doc_id, r.tokens.toSeq, r.n_tok, r.source)).sortBy(_._1)
+      val exp = rows.map(r => (r.doc_id, r.tokens.toSeq, r.n_tok, r.source)).sortBy(_._1)
+      assert(back.sameElements(exp), s"seed $seed")
+    }
+  }
+
+  test("empty input commits an empty complete snapshot") {
+    import spark.implicits._
+    val dir = tmpDir("empty")
+    val empty = Seq.empty[TokenRow].toDF()
+    val res = GraftTable.encode(empty, dir)
+    assert(res.complete && res.rowCount == 0)
+    assert(GraftTable.decode(spark, dir).count() == 0)
+  }
+
   test("non-numeric doc_ids fall back to the hash key strategy and round-trip") {
     import spark.implicits._
     val alpha = source.toDF()
