@@ -89,6 +89,17 @@ object EncodeBench {
     val sec = times.head
     val res = timed.head._2
 
+    // decode leg: timed full-table decode + the verify aggregate (token
+    // count must equal the encoded total — a cheap end-to-end integrity
+    // check inside the bench itself)
+    val decodeDir = s"/tmp/graft-bench/table-$sfTag-r$repl-p$parallelism-run1"
+    val td0 = System.nanoTime()
+    val decTokens = GraftTable.decode(spark, decodeDir)
+      .agg(sum(col("n_tok").cast("long"))).head().getLong(0)
+    val decSec = (System.nanoTime() - td0) / 1e9
+    require(decTokens == res.tokenCount,
+      s"decode token count $decTokens != encoded ${res.tokenCount}")
+
     val tps = res.tokenCount / sec
     println(
       s"""GRAFT_BENCH_JSON {"bench":"encode","parallelism":$parallelism,""" +
@@ -96,6 +107,7 @@ object EncodeBench {
         s""""tokens":${res.tokenCount},"blocks":${res.numBlocks},""" +
         f""""encode_sec":$sec%.3f,"tokens_per_sec":$tps%.0f,""" +
         s""""all_runs_sec":[${times.map(t => f"$t%.3f").mkString(",")}],""" +
+        f""""decode_sec":$decSec%.3f,"decode_tokens_per_sec":${res.tokenCount / decSec}%.0f,""" +
         s""""bytes_total":${res.bytesTotal},"plain_bytes":${res.plainBytes},""" +
         s""""ref_parquet_bytes":$refParquetBytes,""" +
         f""""ratio_vs_parquet":${res.bytesTotal.toDouble / refParquetBytes}%.4f,""" +
