@@ -174,25 +174,7 @@ object GraftTable {
       blocks.write.mode("overwrite").parquet(s"$tableDir/$dataDir"))
 
     // manifest from the WRITTEN files (column-pruned scan, no re-encode)
-    val written = spark.read.parquet(s"$tableDir/$dataDir")
-    val manifest = written.select(
-      col("block_id"), col("ver"), col("row_count"), col("token_count"),
-      col("doc_id_min"), col("doc_id_max"), col("plain_bytes"),
-      graft_codec(col("pl_doc_id")).as("codec_doc_id"),
-      graft_codec(col("pl_tokens")).as("codec_tokens"),
-      graft_codec(col("pl_n_tok")).as("codec_n_tok"),
-      graft_codec(col("pl_source")).as("codec_source"),
-      octet_length(col("pl_doc_id")).cast("long").as("bytes_doc_id"),
-      octet_length(col("pl_tokens")).cast("long").as("bytes_tokens"),
-      octet_length(col("pl_n_tok")).cast("long").as("bytes_n_tok"),
-      octet_length(col("pl_source")).cast("long").as("bytes_source"),
-      (octet_length(col("pl_doc_id")) + octet_length(col("pl_tokens")) +
-        octet_length(col("pl_n_tok")) + octet_length(col("pl_source")))
-        .cast("long").as("bytes_total"),
-      graft_dict_hash(col("pl_tokens")).as("dict_hash_tokens"),
-      graft_dict_hash(col("pl_source")).as("dict_hash_source"),
-      xxhash64(col("block_id"), col("pl_doc_id"), col("pl_tokens"),
-        col("pl_n_tok"), col("pl_source")).as("block_sig"))
+    val manifest = manifestOf(spark, s"$tableDir/$dataDir")
 
     val newBlocks = timed("manifest-count")(manifest.count())
     if (newBlocks == 0 && parent.nonEmpty) {
@@ -339,6 +321,108 @@ object GraftTable {
         size(col("r.tokens")).as("n_tok"),
         col("r.source").as("source"))
       .as[TokenRow]
+  }
+
+  /** Manifest rows derived from WRITTEN block files (codec names, dict
+    * hashes, sizes, content signature) — a column-pruned scan, never a
+    * re-run of the encode lineage.
+    */
+  private def manifestOf(spark: SparkSession, dataPath: String): DataFrame =
+    spark.read.parquet(dataPath).select(
+      col("block_id"), col("ver"), col("row_count"), col("token_count"),
+      col("doc_id_min"), col("doc_id_max"), col("plain_bytes"),
+      graft_codec(col("pl_doc_id")).as("codec_doc_id"),
+      graft_codec(col("pl_tokens")).as("codec_tokens"),
+      graft_codec(col("pl_n_tok")).as("codec_n_tok"),
+      graft_codec(col("pl_source")).as("codec_source"),
+      octet_length(col("pl_doc_id")).cast("long").as("bytes_doc_id"),
+      octet_length(col("pl_tokens")).cast("long").as("bytes_tokens"),
+      octet_length(col("pl_n_tok")).cast("long").as("bytes_n_tok"),
+      octet_length(col("pl_source")).cast("long").as("bytes_source"),
+      (octet_length(col("pl_doc_id")) + octet_length(col("pl_tokens")) +
+        octet_length(col("pl_n_tok")) + octet_length(col("pl_source")))
+        .cast("long").as("bytes_total"),
+      graft_dict_hash(col("pl_tokens")).as("dict_hash_tokens"),
+      graft_dict_hash(col("pl_source")).as("dict_hash_source"),
+      xxhash64(col("block_id"), col("pl_doc_id"), col("pl_tokens"),
+        col("pl_n_tok"), col("pl_source")).as("block_sig"))
+
+  /** Append a new batch of rows as additional blocks (incremental ingest —
+    * the foundation of the streaming path). Unlike [[encode]]'s resume
+    * semantics (same input, missing blocks), append always adds: the batch
+    * gets its own range bounds and its block ids start after the parent's
+    * maximum, so existing blocks are never touched and [[decode]] is the
+    * union of all live blocks. Lineage chains through parent snapshot ids
+    * with a combined fingerprint.
+    */
+  def append(batch: DataFrame, tableDir: String, opts: Options = Options()): EncodeResult = {
+    val spark = batch.sparkSession
+    val parent = currentSnapshot(spark, tableDir)
+    if (parent.isEmpty) return encode(batch, tableDir, opts)
+    val p = parent.get
+    val ver = p.version + 1
+
+    val keyed = batch.select(
+      col("doc_id"), col("tokens"), col("n_tok"), col("source"),
+      expr(KeyExpr).as("_graft_key"))
+    val stats = Stats.collect(keyed, opts.sampleRows)
+    if (stats.rows == 0L)
+      return EncodeResult(p.version, p.snapshotId, p.numBlocks, 0L,
+        p.blocksEncoded, p.rowCount, p.tokenCount, p.bytesTotal, p.plainBytes,
+        p.contentSig, p.complete)
+
+    val blockOffset =
+      if (p.manifestDirs.isEmpty) 0
+      else readManifest(spark, tableDir, p)
+        .agg(max(col("block_id").cast("int"))).head().getInt(0) + 1
+    val bounds = computeBounds(keyed, stats.rows, opts.targetRowsPerBlock, opts.sampleRows)
+    val numNew = bounds.length + 1
+
+    import spark.implicits._
+    val parallelism = spark.sparkContext.defaultParallelism
+    val encodeParts = math.max(1, math.min(numNew, parallelism * 2))
+    val blocks = keyed
+      .select(
+        (graft_range_bucket(col("_graft_key"), bounds) + blockOffset).as("block_id"),
+        col("_graft_key").as("k"), col("doc_id"),
+        col("tokens"), col("n_tok"), col("source"))
+      .repartition(encodeParts, col("block_id"))
+      .sortWithinPartitions(col("block_id"), col("k"), col("doc_id"))
+      .as[BlockInput]
+      .mapPartitions(it =>
+        BlockAssembler.assemble(it, ver, stats.allowDict, stats.allowFsst))
+
+    val dataDir = s"data/v$ver"
+    blocks.write.mode("overwrite").parquet(s"$tableDir/$dataDir")
+    val manifest = manifestOf(spark, s"$tableDir/$dataDir")
+    val manifestDir = s"manifests/v$ver"
+    manifest.write.mode("overwrite").json(s"$tableDir/$manifestDir")
+
+    val manifestDirs = p.manifestDirs :+ manifestDir
+    val dataDirs = p.dataDirs :+ dataDir
+    val all = spark.read.json(manifestDirs.map(d => s"$tableDir/$d"): _*)
+    val tot = all.agg(
+      count(lit(1)).as("blocks"), sum("row_count").as("rows"),
+      sum("token_count").as("tokens"), sum("bytes_total").as("bytes"),
+      sum("plain_bytes").as("plain"), expr("bit_xor(block_sig)").as("sig")).head()
+
+    val combinedFp = Hashing.sha256Hex(s"${p.inputFingerprint}+${stats.fingerprint}")
+    val contentSig = f"${tot.getLong(5)}%016x"
+    val totalBlocks = p.numBlocks + numNew
+    val snapshotId = Hashing.sha256Hex(
+      s"v$ver;parent=${p.snapshotId};fp=$combinedFp;append=$numNew;" +
+        s"rows=${tot.getLong(1)};tokens=${tot.getLong(2)};" +
+        s"bytes=${tot.getLong(3)};sig=$contentSig")
+    val snap = Snapshot(ver, snapshotId, Some(p.snapshotId), combinedFp,
+      KeyStrategy, p.bounds, totalBlocks, tot.getLong(0), complete = true,
+      tot.getLong(1), tot.getLong(2), tot.getLong(3), tot.getLong(4),
+      contentSig, dataDirs, manifestDirs, stats.asJsonFields,
+      java.time.Instant.now().toString)
+    writeString(spark, s"$tableDir/metadata/v$ver.json", renderSnapshot(snap))
+    writeString(spark, s"$tableDir/metadata/current", ver.toString)
+    EncodeResult(ver, snapshotId, totalBlocks, numNew.toLong, tot.getLong(0),
+      tot.getLong(1), tot.getLong(2), tot.getLong(3), tot.getLong(4),
+      contentSig, complete = true)
   }
 
   /** Catalog registration (the ebenezer Hive-metastore analogue, SURVEY.md

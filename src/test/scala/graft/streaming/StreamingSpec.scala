@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.table.{GraftTable, TokenRow, Tokenize}
+
+/** Streaming + append-mode tests: micro-batches land as appended block
+  * versions; decode is the union; lineage chains per batch.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val source =
+    Tokenize.tokenTable(spark, "/root/testdata/sf0.001").cache()
+
+  test("batch append: second batch adds blocks, decode is the union") {
+    val dir = Files.createTempDirectory("graft-append").toString
+    val first = source.where(col("doc_id").cast("long") < 250).toDF()
+    val second = source.where(col("doc_id").cast("long") >= 250).toDF()
+    val r1 = GraftTable.encode(first, dir, GraftTable.Options(targetRowsPerBlock = 64))
+    val r2 = GraftTable.append(second, dir, GraftTable.Options(targetRowsPerBlock = 64))
+    assert(r2.version == r1.version + 1)
+    assert(r2.rowCount == 500)
+    assert(r2.blocksEncodedThisRun > 0)
+    val decoded = GraftTable.decode(spark, dir)
+    assert(decoded.count() == 500)
+    val mism = decoded.toDF().alias("d").join(source.toDF().alias("s"), "doc_id")
+      .where(!(col("d.tokens") <=> col("s.tokens"))).count()
+    assert(mism == 0)
+    // appended blocks got fresh ids (no overlap with v1's)
+    val man = GraftTable.readManifest(spark, dir)
+    assert(man.count() ==
+      man.select("block_id").distinct().count())
+  }
+
+  test("streaming ingest: micro-batches append and round-trip") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+
+    val mem = MemoryStream[TokenRow]
+    val rows = source.collect()
+    mem.addData(rows.take(200).toSeq)
+    val q = StreamingEncode.start(
+      mem.toDF(), dir, ckpt, GraftTable.Options(targetRowsPerBlock = 64),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    q.processAllAvailable()
+    mem.addData(rows.drop(200).toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val decoded = GraftTable.decode(spark, dir)
+    assert(decoded.count() == 500)
+    val mism = decoded.toDF().alias("d").join(source.toDF().alias("s"), "doc_id")
+      .where(!(col("d.tokens") <=> col("s.tokens")) ||
+        !(col("d.source") <=> col("s.source"))).count()
+    assert(mism == 0)
+    // one snapshot per non-empty micro-batch, lineage chains
+    val chain = GraftTable.lineage(spark, dir)
+    assert(chain.length >= 2)
+    assert(chain.head.parentId.contains(chain(1).snapshotId))
+    assert(chain.head.complete)
+  }
+}
