@@ -451,6 +451,45 @@ object GraftTable {
     }.reduce(_ unionAll _)
   }
 
+  /** Decode only the rows whose numeric doc_id falls in [minId, maxId]:
+    * block-level pruning via the snapshot's range bounds (metadata-only —
+    * the same summary-stats partition elimination Iceberg manifests give),
+    * then an exact row filter on the decoded slice. At 10^12 rows this
+    * reads ceil(span/blockSpan) blocks instead of the table.
+    */
+  def decodeRange(
+      spark: SparkSession, tableDir: String, minId: Long, maxId: Long): Dataset[TokenRow] = {
+    // live blocks whose [doc_id_min, doc_id_max] intersects [minId, maxId]
+    // — works for both ranged encodes and appended versions; the id set is
+    // applied as a semi join so it never collects to the driver
+    val hit = readManifest(spark, tableDir)
+      .where(expr("try_cast(doc_id_max as bigint)") >= minId &&
+        expr("try_cast(doc_id_min as bigint)") <= maxId)
+      .select(col("ver").cast("int").as("ver"),
+        col("block_id").cast("int").as("block_id"))
+    decodeBlocks(spark, tableDir, hit)
+      .where(expr("try_cast(doc_id as bigint)").between(minId, maxId))
+  }
+
+  private def decodeBlocks(
+      spark: SparkSession, tableDir: String,
+      liveBlocks: DataFrame): Dataset[TokenRow] = {
+    import spark.implicits._
+    readBlocks(spark, tableDir)
+      .join(broadcast(liveBlocks), Seq("ver", "block_id"), "left_semi")
+      .select(explode(arrays_zip(
+        graft_decode_str(col("pl_doc_id")).as("doc_id"),
+        graft_reslice(graft_decode(col("pl_tokens")), graft_decode(col("pl_n_tok")))
+          .as("tokens"),
+        graft_decode_str(col("pl_source")).as("source"))).as("r"))
+      .select(
+        col("r.doc_id").as("doc_id"),
+        col("r.tokens").as("tokens"),
+        size(col("r.tokens")).as("n_tok"),
+        col("r.source").as("source"))
+      .as[TokenRow]
+  }
+
   def readManifest(spark: SparkSession, tableDir: String, snap: Snapshot): DataFrame =
     spark.read.json(snap.manifestDirs.map(d => s"$tableDir/$d"): _*)
 

@@ -45,6 +45,12 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.contains("LessThanOrEqual(block_id,3"), plan)
   }
 
+  test("decodeRange returns exactly the requested rows via block pruning") {
+    val out = GraftTable.decodeRange(spark, tableDir, 100L, 150L)
+    val ids = out.collect().map(_.doc_id.toLong).sorted.toSeq
+    assert(ids == (100L to 150L))
+  }
+
   test("decode of a doc_id range only touches the covering blocks") {
     // manifest min/max enables block-level pruning: select blocks whose
     // doc_id range intersects the predicate, then decode only those

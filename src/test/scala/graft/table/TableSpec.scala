@@ -84,6 +84,8 @@ class TableSpec extends AnyFunSuite {
     assert(man.agg(sum("row_count")).head().getLong(0) == 500L)
     // dict hash is a sha256 hex
     assert(row.getAs[String]("dict_hash_tokens").matches("[0-9a-f]{64}"))
+    // per-block size bound: every block compresses below its plain bytes
+    assert(man.where(col("bytes_total") >= col("plain_bytes")).count() == 0)
     // codec names are from the known families
     val known = graft.codec.IntBlocks.idOf.keySet ++
       graft.codec.StrBlocks.names.values
