@@ -241,6 +241,19 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // E10 + manifest pruning: decode only a doc_id range (block-level
+    // elimination via manifest min/max + exact row filter)
+    "q_decode_range" -> ((s, dir) => {
+      val tdir = encodedTableDir(s, dir)
+      GraftTable.decodeRange(s, tdir, 100L, 150L).toDF()
+        .select(
+          col("doc_id"),
+          col("n_tok").cast("long").as("n_tok"),
+          Tokenize.checksumCol(col("tokens")).as("checksum"),
+          col("source"))
+        .orderBy(col("doc_id").cast("long"))
+    }),
+
     // R7/R8: catalog registration + spark.sql over the DECODED view — the
     // Hive-delegation analogue; oracle recomputes from raw documents
     "q_sql_view" -> ((s, dir) => {
@@ -490,6 +503,23 @@ object SparkEntry {
     "q_skew_salted" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS cnt
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_decode_range" ->
+      """WITH vocab AS (
+        |  SELECT word, row_number() OVER (ORDER BY word) - 1 AS tid
+        |  FROM (SELECT DISTINCT unnest(string_split(text,' ')) AS word FROM documents)
+        |), pairs AS (
+        |  SELECT doc_id, source, unnest(string_split(text,' ')) AS word,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents WHERE doc_id BETWEEN 100 AND 150
+        |)
+        |SELECT CAST(p.doc_id AS VARCHAR) AS doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tok,
+        |       CAST(sum(v.tid * p.pos) AS BIGINT) AS checksum,
+        |       any_value(p.source) AS source
+        |FROM pairs p JOIN vocab v ON v.word = p.word
+        |GROUP BY p.doc_id
+        |ORDER BY CAST(p.doc_id AS BIGINT)""".stripMargin,
 
     "q_sql_view" ->
       """WITH per_doc AS (

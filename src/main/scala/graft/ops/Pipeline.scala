@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.table.{GraftTable, Tokenize}
+
+/** The composed training-data pipeline: quality filter → exact dedup →
+  * near-dup removal (MinHash-LSH) → tokenize → encoded-table commit.
+  * Each stage is one of the engine's tested operators; this wires them in
+  * the order a pretraining ingest actually runs them, with per-stage counts
+  * reported for lineage.
+  *
+  * Scale shape: the quality filter and tokenize are map-only; exact dedup
+  * shuffles 32-byte digests; LSH shuffles band buckets (linear); the
+  * near-dup kill list is broadcast (bounded by the number of detected
+  * duplicates, not the corpus); encode is the table's single data shuffle.
+  */
+object Pipeline {
+
+  final case class Report(
+      input: Long,
+      afterQuality: Long,
+      afterExactDedup: Long,
+      afterNearDedup: Long,
+      encode: GraftTable.EncodeResult)
+
+  def cleanAndEncode(
+      docs: DataFrame,
+      tableDir: String,
+      minWords: Int = 10,
+      nearDupThreshold: Double = 0.9,
+      opts: GraftTable.Options = GraftTable.Options()): Report = {
+    val spark = docs.sparkSession
+    val input = docs.count()
+
+    // 1. quality gate
+    val q = TextAnalysis.quality(docs).where(col("quality_ok"))
+      .select(col("doc_id"))
+    val kept1 = docs.join(q, docs("doc_id").cast("string") === q("doc_id"), "left_semi")
+    val afterQuality = kept1.count()
+
+    // 2. exact dedup: keep rank 1 of each digest group
+    val keep2 = Dedup.exact(kept1.select(col("doc_id").cast("string").as("doc_id"), col("text")))
+      .where(!col("is_dup")).select(col("doc_id"))
+    val kept2 = kept1.join(keep2,
+      kept1("doc_id").cast("string") === keep2("doc_id"), "left_semi")
+    val afterExact = kept2.count()
+
+    // 3. near-dup removal: drop the higher doc_id of each verified pair
+    val kill = Dedup.minHashLsh(kept2, threshold = nearDupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept3 = kept2.join(broadcast(kill),
+      kept2("doc_id").cast("string") === kill("doc_id"), "left_anti")
+    val afterNear = kept3.count()
+
+    // 4. tokenize + encode (vocab discovered from the CLEANED corpus)
+    val tokens = Tokenize.tokenTable(kept3, Tokenize.vocab(kept3)).toDF()
+    val res = GraftTable.encode(tokens, tableDir, opts)
+    Report(input, afterQuality, afterExact, afterNear, res)
+  }
+}

@@ -133,6 +133,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out.select("lang_pred").as[String].collect().forall(langs.contains))
   }
 
+  test("pipeline: quality → dedup → near-dup → tokenize → encode") {
+    // plant one exact dup and keep the corpus's own near-dups
+    val planted = docs.select(col("doc_id").cast("string"), col("text"),
+      col("lang"), col("source"), col("n_chars"))
+      .unionAll(docs.where(col("doc_id") === 7)
+        .select(lit("97007").as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    val rep = Pipeline.cleanAndEncode(planted, dir,
+      opts = graft.table.GraftTable.Options(targetRowsPerBlock = 64))
+    assert(rep.input == 501)
+    assert(rep.afterQuality <= rep.input)
+    assert(rep.afterExactDedup == rep.afterQuality - 1) // the planted dup
+    assert(rep.afterNearDedup < rep.afterExactDedup) // corpus near-dups removed
+    assert(rep.encode.complete)
+    assert(rep.encode.rowCount == rep.afterNearDedup)
+    // the committed table round-trips
+    val dec = graft.table.GraftTable.decode(spark, dir)
+    assert(dec.count() == rep.afterNearDedup)
+  }
+
   test("fingerprint is order-sensitive and stable") {
     val fp = TextAnalysis.fingerprint(docs)
     assert(fp.select(countDistinct("fingerprint")).as[Long].head() > 490)
