@@ -218,6 +218,37 @@ class TableSpec extends AnyFunSuite {
     }
   }
 
+  test("skewed key space still yields balanced blocks (equal-depth bounds)") {
+    import spark.implicits._
+    // 80% of ids clustered in [0, 500), the tail sparse up to 10^9
+    val rows = (0 until 2000).map { i =>
+      val id = if (i % 5 != 4) (i / 5) * 2L else 1000000000L - i * 997L
+      TokenRow(id.toString, Array.fill(20)(i % 31), 20, s"src${i % 4}")
+    }.groupBy(_.doc_id).map(_._2.head).toSeq
+    val dir = tmpDir("skewkeys")
+    val res = GraftTable.encode(rows.toDF(), dir,
+      GraftTable.Options(targetRowsPerBlock = 128))
+    assert(res.complete)
+    val counts = GraftTable.readManifest(spark, dir)
+      .select(col("row_count").cast("long")).as[Long].collect().sorted
+    val median = counts(counts.length / 2)
+    assert(counts.last <= median * 4,
+      s"unbalanced blocks under key skew: max=${counts.last} median=$median")
+  }
+
+  test("orphan data dir from a crashed run does not block or corrupt a retry") {
+    import spark.implicits._
+    val dir = tmpDir("orphan")
+    val opts = GraftTable.Options(targetRowsPerBlock = 128)
+    // simulate a crash: data/v1 exists (partial garbage), no snapshot commit
+    val garbage = Seq(("junk", 1)).toDF("a", "b")
+    garbage.write.parquet(s"$dir/data/v1")
+    val res = GraftTable.encode(source.toDF(), dir, opts)
+    assert(res.complete && res.version == 1)
+    assert(collectRows(GraftTable.decode(spark, dir))
+      .sameElements(collectRows(source)))
+  }
+
   test("empty input commits an empty complete snapshot") {
     import spark.implicits._
     val dir = tmpDir("empty")
