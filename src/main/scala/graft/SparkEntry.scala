@@ -29,7 +29,7 @@ object SparkEntry {
     * Path carries a format tag so stale tables from older code never leak in.
     */
   private def encodedTableDir(spark: SparkSession, sfDir: String): String = {
-    val dir = "/tmp/graft-tables/f2-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = "/tmp/graft-tables/f3-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     GraftTable.encode(
       Tokenize.tokenTable(spark, sfDir).toDF(), dir,
       GraftTable.Options(targetRowsPerBlock = 128))
@@ -239,6 +239,19 @@ object SparkEntry {
         col("source"), col("doc_id"))
         .select(col("key").as("source"), col("cnt").cast("long").as("cnt"))
         .orderBy("source")
+    }),
+
+    // metadata-only statistics: answered ENTIRELY from the manifest (zone
+    // maps) — zero payload bytes read; the oracle recomputes the same
+    // numbers from the raw documents
+    "q_meta_stats" -> ((s, dir) => {
+      val tdir = encodedTableDir(s, dir)
+      GraftTable.readManifest(s, tdir)
+        .agg(
+          sum(col("row_count")).cast("long").as("docs"),
+          sum(col("token_count")).cast("long").as("tokens"),
+          min(col("tok_min")).cast("long").as("t_min"),
+          max(col("tok_max")).cast("long").as("t_max"))
     }),
 
     // E10 + manifest pruning: decode only a doc_id range (block-level
@@ -503,6 +516,19 @@ object SparkEntry {
     "q_skew_salted" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS cnt
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_meta_stats" ->
+      """WITH vocab AS (
+        |  SELECT word, row_number() OVER (ORDER BY word) - 1 AS tid
+        |  FROM (SELECT DISTINCT unnest(string_split(text,' ')) AS word FROM documents)
+        |), pairs AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents
+        |)
+        |SELECT CAST(count(DISTINCT p.doc_id) AS BIGINT) AS docs,
+        |       CAST(count(*) AS BIGINT) AS tokens,
+        |       CAST(min(v.tid) AS BIGINT) AS t_min,
+        |       CAST(max(v.tid) AS BIGINT) AS t_max
+        |FROM pairs p JOIN vocab v ON v.word = p.word""".stripMargin,
 
     "q_decode_range" ->
       """WITH vocab AS (

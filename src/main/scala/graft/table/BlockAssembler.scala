@@ -23,6 +23,8 @@ final case class BlockRow(
     token_count: Long,
     doc_id_min: String,
     doc_id_max: String,
+    tok_min: Int,
+    tok_max: Int,
     plain_bytes: Long,
     pl_doc_id: Array[Byte],
     pl_tokens: Array[Byte],
@@ -55,6 +57,8 @@ object BlockAssembler {
       var flat = new Array[Int](1 << 16)
       var flatLen = 0
       var plainBytes = 0L
+      var tokMin = Int.MaxValue
+      var tokMax = Int.MinValue
 
       while (in.hasNext && in.head.block_id == blockId) {
         val r = in.next()
@@ -68,6 +72,13 @@ object BlockAssembler {
         }
         System.arraycopy(r.tokens, 0, flat, flatLen, r.tokens.length)
         flatLen += r.tokens.length
+        var ti = 0
+        while (ti < r.tokens.length) {
+          val t = r.tokens(ti)
+          if (t < tokMin) tokMin = t
+          if (t > tokMax) tokMax = t
+          ti += 1
+        }
         plainBytes += r.doc_id.length + r.source.length + 4L + 4L * r.n_tok
       }
 
@@ -79,6 +90,8 @@ object BlockAssembler {
         token_count = flatLen.toLong,
         doc_id_min = docIds.head,
         doc_id_max = docIds.last,
+        tok_min = if (flatLen == 0) 0 else tokMin,
+        tok_max = if (flatLen == 0) 0 else tokMax,
         plain_bytes = plainBytes,
         pl_doc_id = StrBlocks.encodeAuto(docIds.toArray),
         pl_tokens = IntBlocks.encodeAutoChoice(tokens, allowDict, allowFsst)._1,

@@ -330,7 +330,8 @@ object GraftTable {
   private def manifestOf(spark: SparkSession, dataPath: String): DataFrame =
     spark.read.parquet(dataPath).select(
       col("block_id"), col("ver"), col("row_count"), col("token_count"),
-      col("doc_id_min"), col("doc_id_max"), col("plain_bytes"),
+      col("doc_id_min"), col("doc_id_max"),
+      col("tok_min"), col("tok_max"), col("plain_bytes"),
       graft_codec(col("pl_doc_id")).as("codec_doc_id"),
       graft_codec(col("pl_tokens")).as("codec_tokens"),
       graft_codec(col("pl_n_tok")).as("codec_n_tok"),
