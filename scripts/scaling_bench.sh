@@ -22,10 +22,13 @@ JAR="target/scala-2.13/ebenezerspark_2.13-0.1.0.jar"
 : > "$OUT"
 for CPUS in "$N" "$N4"; do
   echo "== local[$CPUS] =="
+  # GRAFT_SHUFFLE_DIR=/dev/shm/graft-tmp isolates the engine from the
+  # host's disk bandwidth (useful to attribute scaling ceilings)
   /opt/spark/bin/spark-submit \
     --master "local[$CPUS]" \
     --driver-memory "$MEM" \
     --conf spark.sql.shuffle.partitions="$CPUS" \
+    ${GRAFT_SHUFFLE_DIR:+--conf spark.local.dir="$GRAFT_SHUFFLE_DIR"} \
     --conf spark.ui.enabled=false \
     --conf spark.sql.session.timeZone=UTC \
     --class graft.tools.EncodeBench "$JAR" "$SF" "$REPL" 2>/dev/null \

@@ -43,5 +43,17 @@ object GraftSql {
       exprs => graft.expr.GraftDecodeStr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_reslice",
       exprs => graft.expr.GraftReslice(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => graft.expr.SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => graft.expr.CosineSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash", exprs => {
+      val n = exprs(1).eval(null) match {
+        case i: Int => i
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash(arr, n): n must be an int literal, got $other")
+      }
+      graft.expr.MinHashSig(exprs.head, n)
+    }, "built-in")
   }
 }

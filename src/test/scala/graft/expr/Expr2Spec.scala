@@ -81,6 +81,18 @@ class Expr2Spec extends AnyFunSuite {
     assert(agree > 170 && agree < 245, s"agree=$agree")
   }
 
+  test("sketch functions are callable from SQL") {
+    Seq((Seq("a", "b", "c"), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
+      .toDF("words", "va", "vb").createOrReplaceTempView("sk")
+    val row = spark.sql(
+      """SELECT size(graft_minhash(words, 16)) AS mh,
+        |       graft_simhash(words) AS sh,
+        |       graft_cosine(va, vb) AS cos
+        |FROM sk""".stripMargin).head()
+    assert(row.getInt(0) == 16)
+    assert(row.getDouble(2) == 0.0)
+  }
+
   test("graft_cosine matches the HOF formulation bit for bit") {
     val vs = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
