@@ -426,6 +426,40 @@ object GraftTable {
       contentSig, complete = true)
   }
 
+  /** Compaction (Iceberg OPTIMIZE analogue): decode the whole table and
+    * re-encode it as one fresh version with new bounds — fragmented
+    * append-batch blocks merge into full-size range blocks and stale data
+    * dirs drop out of the new snapshot (reclaim them with
+    * [[expireSnapshots]]). On an un-fragmented table whose content
+    * fingerprint already matches, this resumes as a no-op.
+    */
+  def compact(spark: SparkSession, tableDir: String, opts: Options = Options()): EncodeResult =
+    encode(decode(spark, tableDir).toDF(), tableDir, opts)
+
+  /** Delete data/manifest dirs not referenced by the CURRENT snapshot
+    * (crash orphans, pre-compaction versions). Metadata JSONs are kept —
+    * they are the lineage audit trail. Returns the deleted paths.
+    */
+  def expireSnapshots(spark: SparkSession, tableDir: String): Seq[String] = {
+    val snap = currentSnapshot(spark, tableDir).getOrElse(return Nil)
+    val live = (snap.dataDirs ++ snap.manifestDirs).toSet
+    val fs = hfs(spark, tableDir)
+    val deleted = Seq.newBuilder[String]
+    Seq("data", "manifests").foreach { kind =>
+      val root = new Path(s"$tableDir/$kind")
+      if (fs.exists(root)) {
+        fs.listStatus(root).foreach { st =>
+          val rel = s"$kind/${st.getPath.getName}"
+          if (!live.contains(rel)) {
+            fs.delete(st.getPath, true)
+            deleted += rel
+          }
+        }
+      }
+    }
+    deleted.result()
+  }
+
   /** Catalog registration (the ebenezer Hive-metastore analogue, SURVEY.md
     * R7/R8): exposes the encoded table to `spark.sql` as three views —
     * `<name>_blocks` (encoded payloads), `<name>_manifest` (codec/lineage

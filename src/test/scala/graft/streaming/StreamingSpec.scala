@@ -39,6 +39,39 @@ class StreamingSpec extends AnyFunSuite {
       man.select("block_id").distinct().count())
   }
 
+  test("compact merges fragmented append blocks; expire reclaims old dirs") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    // 5 tiny appends → fragmented table
+    (0 until 5).foreach { i =>
+      val slice = source.where(col("doc_id").cast("long") % 5 === i).toDF()
+      if (i == 0) GraftTable.encode(slice, dir, opts)
+      else GraftTable.append(slice, dir, opts)
+    }
+    val before = GraftTable.currentSnapshot(spark, dir).get
+    assert(before.dataDirs.length == 5)
+
+    val res = GraftTable.compact(spark, dir, opts)
+    assert(res.complete && res.rowCount == 500)
+    val after = GraftTable.currentSnapshot(spark, dir).get
+    assert(after.dataDirs.length == 1, after.dataDirs)
+
+    val reclaimed = GraftTable.expireSnapshots(spark, dir)
+    assert(reclaimed.size >= 8, reclaimed) // 5 old data + manifest dirs minus live
+
+    // post-GC the table still decodes bit-identically
+    val decoded = GraftTable.decode(spark, dir)
+    assert(decoded.count() == 500)
+    val mism = decoded.toDF().alias("d").join(source.toDF().alias("s"), "doc_id")
+      .where(!(col("d.tokens") <=> col("s.tokens"))).count()
+    assert(mism == 0)
+
+    // compacting an already-compact table is a no-op
+    val again = GraftTable.compact(spark, dir, opts)
+    assert(again.blocksEncodedThisRun == 0)
+    assert(again.snapshotId == res.snapshotId)
+  }
+
   test("streaming ingest: micro-batches append and round-trip") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-stream").toString
