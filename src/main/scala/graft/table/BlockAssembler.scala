@@ -65,6 +65,8 @@ object BlockAssembler {
         docIds += r.doc_id
         sources += r.source
         nToks += r.n_tok
+        require(flatLen.toLong + r.tokens.length <= Int.MaxValue,
+          s"block $blockId exceeds 2^31 tokens — lower targetRowsPerBlock")
         if (flatLen + r.tokens.length > flat.length) {
           var cap = flat.length
           while (cap < flatLen + r.tokens.length) cap <<= 1

@@ -34,9 +34,9 @@ import graft.functions._
   *     come from sampled quantiles of the doc_id key (range partitioning,
   *     E13) — block sizes are balanced by construction, and `RangeBucket`
   *     assigns blocks in O(log B) per row;
-  *   - block assembly is a declarative `groupBy(block_id)` +
-  *     `array_sort(collect_list(...))` + Catalyst codec expressions — no
-  *     RDDs, no driver collect of data rows, map-side codegen throughout;
+  *   - block assembly is repartition + Tungsten sortWithinPartitions + a
+  *     streaming per-partition grouper holding ONE block in memory — no
+  *     RDD API, no driver collect of data rows, O(block) task memory;
   *   - manifests are derived by re-reading the *written* data files
   *     (column-pruned scan of payload metadata), never by re-running the
   *     encode lineage;
@@ -110,6 +110,11 @@ object GraftTable {
     }
   }
 
+  /** Input contract: `doc_id` values are unique (the input_hint's table
+    * key). Duplicate ids still round-trip correctly, but rows that tie on
+    * (key, doc_id) have no further sort key, so snapshot determinism is
+    * only guaranteed for unique ids.
+    */
   def encode(tokens: DataFrame, tableDir: String, opts: Options = Options()): EncodeResult = {
     val spark = tokens.sparkSession
     val keyed = tokens.select(

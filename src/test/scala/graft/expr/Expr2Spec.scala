@@ -81,6 +81,18 @@ class Expr2Spec extends AnyFunSuite {
     assert(agree > 170 && agree < 245, s"agree=$agree")
   }
 
+  test("corrupt payloads fail with a clear error, not a JVM crash") {
+    val garbage = Array[Byte](99, 1, 2, 3) // unknown codec id 99
+    val ex = intercept[Exception] {
+      Seq(Tuple1(garbage)).toDF("p").select(graft_decode($"p")).collect()
+    }
+    assert(ex.getMessage != null)
+    val ex2 = intercept[Exception] {
+      Seq(Tuple1(garbage)).toDF("p").select(graft_decode_str($"p")).collect()
+    }
+    assert(ex2.getMessage != null)
+  }
+
   test("sketch functions are callable from SQL") {
     Seq((Seq("a", "b", "c"), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
       .toDF("words", "va", "vb").createOrReplaceTempView("sk")
