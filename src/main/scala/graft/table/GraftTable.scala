@@ -278,20 +278,25 @@ object GraftTable {
     if (numBlocks <= 1) return IndexedSeq.empty
     val budget = math.max(sampleRows, numBlocks * 8L)
     val stride = math.max(1L, rows / budget)
+    // the sample feeds two jobs (count + rank-boundary collect) — persist
+    // it so the input is scanned once
     val s = keyed
       .where(col("_graft_key").isNotNull &&
         pmod(xxhash64(col("_graft_key")), lit(stride)) === 0)
       .select(col("_graft_key").as("k"))
-    val cnt = s.count()
-    if (cnt < numBlocks) // degenerate: few distinct sampled keys — one block
-      return IndexedSeq.empty
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
-    s.withColumn("rn", row_number().over(w))
-      // boundary rows: where floor(rn·numBlocks/cnt) crosses a bucket edge
-      .where((col("rn") * numBlocks).divide(cnt).cast("long") =!=
-        ((col("rn") - 1) * numBlocks).divide(cnt).cast("long"))
-      .where(col("rn") =!= 1 && col("rn") =!= cnt) // interior cuts only
-      .select("k").collect().map(_.getLong(0)).distinct.sorted.toIndexedSeq
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cnt = s.count()
+      if (cnt < numBlocks) // degenerate: few distinct sampled keys — one block
+        return IndexedSeq.empty
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+      s.withColumn("rn", row_number().over(w))
+        // boundary rows: where floor(rn·numBlocks/cnt) crosses a bucket edge
+        .where((col("rn") * numBlocks).divide(cnt).cast("long") =!=
+          ((col("rn") - 1) * numBlocks).divide(cnt).cast("long"))
+        .where(col("rn") =!= 1 && col("rn") =!= cnt) // interior cuts only
+        .select("k").collect().map(_.getLong(0)).distinct.sorted.toIndexedSeq
+    } finally { s.unpersist(false); () }
   }
 
   // -------------------------------------------------------------- decode

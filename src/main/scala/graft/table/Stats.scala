@@ -103,9 +103,14 @@ object Stats {
     val avgTok = if (rows == 0) 1.0 else math.max(1.0, tokensTotal0.toDouble / rows)
     val rowBudget = math.max(1L, (sampleRows.toDouble / avgTok).toLong)
     val stride = math.max(1L, rows / rowBudget)
+    // the sample feeds TWO jobs (exploded HLL + adjacency) — persist it so
+    // the full input is scanned once, not once per job
+    val doPersist = stride > 1L
     val sample =
-      if (stride <= 1L) keyed
+      if (!doPersist) keyed
       else keyed.where(pmod(xxhash64(col("doc_id")), lit(stride)) === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // adjacent-repeat pairs per row: zip tokens with its own 1-shift
     val adjPairs = aggregate(
@@ -150,5 +155,6 @@ object Stats {
       nTokMax = if (full.isNullAt(8)) 0 else full.getInt(8),
       sourceDistinct = full.getLong(9),
       fingerprint = fingerprint)
+    } finally if (doPersist) { sample.unpersist(false); () }
   }
 }
