@@ -37,7 +37,7 @@ object SparkEntry {
   }
 
   private val codecNames =
-    Seq("plain", "bitpack", "for", "delta_for", "rle", "dict", "fsst")
+    Seq("plain", "bitpack", "for", "delta_for", "rle", "dict", "fsst", "pfor")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -407,7 +407,7 @@ object SparkEntry {
         |  FROM per_doc
         |)
         |SELECT c.codec, t.docs, t.tokens, t.checksum_sum
-        |FROM (VALUES ('plain'),('bitpack'),('for'),('delta_for'),('rle'),('dict'),('fsst')) c(codec)
+        |FROM (VALUES ('plain'),('bitpack'),('for'),('delta_for'),('rle'),('dict'),('fsst'),('pfor')) c(codec)
         |CROSS JOIN tot t
         |ORDER BY c.codec""".stripMargin,
 

@@ -25,10 +25,11 @@ object IntBlocks {
   val RLE = 4
   val DICT = 5
   val FSST = 6
+  val PFOR = 7
 
   val names: Map[Int, String] = Map(
     PLAIN -> "plain", BITPACK -> "bitpack", FOR -> "for", DELTA_FOR -> "delta_for",
-    RLE -> "rle", DICT -> "dict", FSST -> "fsst")
+    RLE -> "rle", DICT -> "dict", FSST -> "fsst", PFOR -> "pfor")
 
   val idOf: Map[String, Int] = names.map(_.swap)
 
@@ -58,6 +59,7 @@ object IntBlocks {
       case RLE       => encRle(values, w)
       case DICT      => encDict(values, w)
       case FSST      => encFsst(values, w)
+      case PFOR      => encPfor(values, w)
       case other     => throw new IllegalArgumentException(s"unknown codec id $other")
     }
     w.result()
@@ -135,6 +137,7 @@ object IntBlocks {
       case FOR => Some(a.sizeFor)
       case DELTA_FOR => Some(a.sizeDeltaFor)
       case RLE => Some(a.sizeRle)
+      case PFOR => pforSize(values) // None ⇒ degenerates to FOR, never wins
       case _ => None
     }
   }
@@ -158,6 +161,7 @@ object IntBlocks {
       case FOR => sizes(names(FOR)) = a.sizeFor
       case DELTA_FOR => sizes(names(DELTA_FOR)) = a.sizeDeltaFor
       case RLE => sizes(names(RLE)) = a.sizeRle
+      case PFOR => pforSize(values).foreach(sizes(names(PFOR)) = _)
       case DICT =>
         dictPayload = encodeWith(DICT, values)
         sizes(names(DICT)) = dictPayload.length
@@ -212,6 +216,7 @@ object IntBlocks {
     b += FOR
     b += DELTA_FOR
     b += RLE
+    b += PFOR
     if (allowDict && distinctOk && d < n) b += DICT
     if (allowFsst && distinctOk && n >= FsstMinN) b += FSST
     b.result()
@@ -343,6 +348,102 @@ object IntBlocks {
     writeDict(dict, w)
     val ids = toDictIds(values, dict)
     w.putBytes(encodeAutoChoice(ids, allowDict = false, allowFsst = false)._1)
+  }
+
+  // ------------------------------------------------------------------ PFOR
+  //
+  // Patched frame-of-reference (public knowledge: Zukowski et al.,
+  // "Super-Scalar RAM-CPU Cache Compression", ICDE 2006): pack (v - min) at
+  // a width covering the common case; outliers ("exceptions") are stored as
+  // (position-gap varint, value varint) patches, so one stray large value
+  // no longer inflates every slot's bit width the way plain FOR does.
+  //
+  // Body: [id][vlen n][zz ref][width:1B][vlen numEx]
+  //       [packed n slots (exceptions packed as 0)][(vlen gap, vlen d)*]
+
+  /** Exact best (width, exceptions, totalBytes); None when n == 0 or no
+    * width with ≤ 25% exceptions beats packing everything (then FOR wins).
+    */
+  private def pforPlan(values: Array[Int]): Option[(Int, Int, Int)] = {
+    val n = values.length
+    if (n == 0) return None
+    var min = Int.MaxValue
+    var max = Int.MinValue
+    var i = 0
+    while (i < n) { val v = values(i); if (v < min) min = v; if (v > max) max = v; i += 1 }
+    val maxB = BitPack.bits(max.toLong - min.toLong)
+    if (maxB == 0) return None
+    val cnt = new Array[Int](maxB + 1)
+    i = 0
+    while (i < n) { cnt(BitPack.bits(values(i).toLong - min.toLong)) += 1; i += 1 }
+
+    val headBase = 1 + varLen(n) + zzLen(min) + 1
+    var best: Option[(Int, Int, Int)] = None
+    var w = 0
+    while (w < maxB) {
+      var ex = 0
+      var b = w + 1
+      while (b <= maxB) { ex += cnt(b); b += 1 }
+      // candidate only when patches are rare; optimistic bound prunes
+      val optimistic = headBase + varLen(ex) +
+        BitPack.packedBytes(n, w).toInt + 2 * ex
+      if (ex <= n / 4 && best.forall(optimistic < _._3)) {
+        var exBytes = 0L
+        var lastPos = -1
+        i = 0
+        while (i < n) {
+          val d = values(i).toLong - min.toLong
+          if (BitPack.bits(d) > w) {
+            exBytes += varLen((i - lastPos).toLong) + varLen(d)
+            lastPos = i
+          }
+          i += 1
+        }
+        val total = headBase + varLen(ex) +
+          BitPack.packedBytes(n, w).toInt + exBytes.toInt
+        if (best.forall(total < _._3)) best = Some((w, ex, total))
+      }
+      w += 1
+    }
+    best
+  }
+
+  private[codec] def pforSize(values: Array[Int]): Option[Int] = pforPlan(values).map(_._3)
+
+  private def encPfor(values: Array[Int], w: ByteWriter): Unit = {
+    val n = values.length
+    w.putByte(PFOR); w.putVarInt(n)
+    if (n == 0) return
+    var min = Int.MaxValue
+    var i = 0
+    while (i < n) { if (values(i) < min) min = values(i); i += 1 }
+    val (width, _, _) = pforPlan(values).getOrElse(
+      (BitPack.bits({ // degenerate: behave like FOR at full width
+        var mx = Long.MinValue; var j = 0
+        while (j < n) { val d = values(j).toLong - min.toLong; if (d > mx) mx = d; j += 1 }
+        math.max(0L, mx)
+      }), 0, 0))
+    w.putZigZagInt(min); w.putByte(width)
+    val slots = new Array[Long](n)
+    var ex = 0
+    i = 0
+    while (i < n) {
+      val d = values(i).toLong - min.toLong
+      if (BitPack.bits(d) > width) { slots(i) = 0L; ex += 1 } else slots(i) = d
+      i += 1
+    }
+    w.putVarInt(ex)
+    BitPack.pack(slots, n, width, w)
+    var lastPos = -1
+    i = 0
+    while (i < n) {
+      val d = values(i).toLong - min.toLong
+      if (BitPack.bits(d) > width) {
+        w.putVarLong((i - lastPos).toLong); w.putVarLong(d)
+        lastPos = i
+      }
+      i += 1
+    }
   }
 
   // ------------------------------------------------------------------ FSST
@@ -492,6 +593,25 @@ object IntBlocks {
         val out = new Array[Int](n)
         var i = 0
         while (i < n) { out(i) = dict(ids(i)); i += 1 }
+        out
+
+      case PFOR =>
+        val n = in.getVarInt()
+        if (n == 0) return new Array[Int](0)
+        val ref = in.getZigZagInt()
+        val width = in.getByte()
+        val ex = in.getVarInt()
+        val slots = BitPack.unpack(in, n, width)
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) { out(i) = (slots(i) + ref).toInt; i += 1 }
+        var pos = -1
+        var k = 0
+        while (k < ex) {
+          pos += in.getVarLong().toInt
+          out(pos) = (in.getVarLong() + ref).toInt
+          k += 1
+        }
         out
 
       case FSST =>

@@ -42,6 +42,16 @@ class CodecSpec extends AnyFunSuite with SeededGens {
     "wide-random" -> (for {
       n <- Gen.choose(1, 500); vs <- Gen.listOfN(n, Gen.choose(0, Int.MaxValue))
     } yield vs.toArray),
+    "outlier-polluted" -> (for {
+      n <- Gen.choose(500, 3000)
+      small <- Gen.listOfN(n, Gen.choose(0, 15))
+      outPos <- Gen.listOfN(math.max(1, n / 20), Gen.choose(0, n - 1))
+      outVal <- Gen.listOfN(math.max(1, n / 20), Gen.choose(1000000, 2000000000))
+    } yield {
+      val a = small.toArray
+      outPos.zip(outVal).foreach { case (p, v) => a(p) = v }
+      a
+    }),
     "full-range" -> (for {
       n <- Gen.choose(1, 500)
       vs <- Gen.listOfN(n, Gen.choose(Int.MinValue, Int.MaxValue))
@@ -52,7 +62,7 @@ class CodecSpec extends AnyFunSuite with SeededGens {
       samples(gen, 30).foreach { a =>
         val nonNeg = a.forall(_ >= 0)
         val ids = Seq(IntBlocks.PLAIN, IntBlocks.FOR, IntBlocks.DELTA_FOR,
-          IntBlocks.RLE) ++ (if (nonNeg) Seq(IntBlocks.BITPACK) else Nil)
+          IntBlocks.RLE, IntBlocks.PFOR) ++ (if (nonNeg) Seq(IntBlocks.BITPACK) else Nil)
         ids.foreach { id =>
           IntBlocks.exactSize(id, a).foreach { sz =>
             val actual = IntBlocks.encodeWith(id, a).length
@@ -69,7 +79,7 @@ class CodecSpec extends AnyFunSuite with SeededGens {
       samples(gen, 30).foreach { a =>
         val nonNeg = a.forall(_ >= 0)
         val ids = Seq(IntBlocks.PLAIN, IntBlocks.FOR, IntBlocks.DELTA_FOR,
-          IntBlocks.RLE, IntBlocks.DICT, IntBlocks.FSST) ++
+          IntBlocks.RLE, IntBlocks.DICT, IntBlocks.FSST, IntBlocks.PFOR) ++
           (if (nonNeg) Seq(IntBlocks.BITPACK) else Nil)
         ids.foreach { id =>
           val enc = IntBlocks.encodeWith(id, a)
@@ -88,6 +98,17 @@ class CodecSpec extends AnyFunSuite with SeededGens {
           s"selected ${choice.name} (${choice.bytes}B) vs ${choice.candidateSizes}")
       }
     }
+  }
+
+  test("PFOR wins on outlier-polluted columns and patches exactly") {
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill(2000)(rnd.nextInt(16))
+    (0 until 100).foreach(_ => a(rnd.nextInt(2000)) = 1000000 + rnd.nextInt(1000000000))
+    val (enc, choice) = IntBlocks.encodeAutoChoice(a)
+    assert(IntBlocks.decode(enc).sameElements(a))
+    assert(choice.name == "pfor", choice.candidateSizes)
+    // and PFOR strictly beats plain FOR here
+    assert(choice.candidateSizes("pfor") < choice.candidateSizes("for"))
   }
 
   test("expected winners on crafted fixtures (FIXTURES.md §4)") {
