@@ -161,7 +161,11 @@ object IntBlocks {
       case FOR => sizes(names(FOR)) = a.sizeFor
       case DELTA_FOR => sizes(names(DELTA_FOR)) = a.sizeDeltaFor
       case RLE => sizes(names(RLE)) = a.sizeRle
-      case PFOR => pforSize(values).foreach(sizes(names(PFOR)) = _)
+      case PFOR =>
+        // budget-pruned: exact-size passes only run when PFOR can still
+        // beat the cheapest analytic candidate computed so far
+        val budget = if (sizes.isEmpty) Int.MaxValue else sizes.values.min
+        pforSize(values, budget).foreach(sizes(names(PFOR)) = _)
       case DICT =>
         dictPayload = encodeWith(DICT, values)
         sizes(names(DICT)) = dictPayload.length
@@ -364,7 +368,7 @@ object IntBlocks {
   /** Exact best (width, exceptions, totalBytes); None when n == 0 or no
     * width with ≤ 25% exceptions beats packing everything (then FOR wins).
     */
-  private def pforPlan(values: Array[Int]): Option[(Int, Int, Int)] = {
+  private def pforPlan(values: Array[Int], budget: Int = Int.MaxValue): Option[(Int, Int, Int)] = {
     val n = values.length
     if (n == 0) return None
     var min = Int.MaxValue
@@ -387,7 +391,7 @@ object IntBlocks {
       // candidate only when patches are rare; optimistic bound prunes
       val optimistic = headBase + varLen(ex) +
         BitPack.packedBytes(n, w).toInt + 2 * ex
-      if (ex <= n / 4 && best.forall(optimistic < _._3)) {
+      if (ex <= n / 4 && optimistic < budget && best.forall(optimistic < _._3)) {
         var exBytes = 0L
         var lastPos = -1
         i = 0
@@ -408,7 +412,8 @@ object IntBlocks {
     best
   }
 
-  private[codec] def pforSize(values: Array[Int]): Option[Int] = pforPlan(values).map(_._3)
+  private[codec] def pforSize(values: Array[Int], budget: Int = Int.MaxValue): Option[Int] =
+    pforPlan(values, budget).map(_._3)
 
   private def encPfor(values: Array[Int], w: ByteWriter): Unit = {
     val n = values.length
