@@ -29,7 +29,7 @@ object SparkEntry {
     * Path carries a format tag so stale tables from older code never leak in.
     */
   private def encodedTableDir(spark: SparkSession, sfDir: String): String = {
-    val dir = "/tmp/graft-tables/f3-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = "/tmp/graft-tables/f4-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     GraftTable.encode(
       Tokenize.tokenTable(spark, sfDir).toDF(), dir,
       GraftTable.Options(targetRowsPerBlock = 128))

@@ -260,6 +260,41 @@ case class RangeBucket(child: Expression, bounds: IndexedSeq[Long])
     copy(child = newChild)
 }
 
+/** `RangeBucketDist(key, broadcast bounds)` — the at-scale form of
+  * [[RangeBucket]]: bounds travel as a Spark broadcast (one torrent-fetched
+  * copy per executor) instead of a plan literal serialized into every task.
+  * At 10^12 rows / 64Ki-row blocks the bounds array is ~15M longs (~120 MB):
+  * as a literal that is 120 MB in EVERY task closure and in the snapshot
+  * JSON; as a broadcast it is fetched once per executor and referenced.
+  * Generated code resolves `value()` once per codegen instance into a
+  * mutable `long[]` field, so the per-row cost stays one binary search.
+  */
+case class RangeBucketDist(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends UnaryExpression {
+
+  @transient private lazy val arr: Array[Long] = bc.value
+
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.long(child, prettyName)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_range_bucket_dist"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.rangeBucket(input.asInstanceOf[Long], arr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(
+      "graftBoundsBc", bc, "org.apache.spark.broadcast.Broadcast<long[]>")
+    val arrName = ctx.addMutableState(
+      "long[]", "graftBoundsArr", v => s"$v = (long[]) $ref.value();")
+    defineCodeGen(ctx, ev, c => s"graft.expr.GraftRuntime.rangeBucket($c, $arrName)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RangeBucketDist =
+    copy(child = newChild)
+}
+
 /** `graft_decode(binary)` -> array<int>, bit-identical inverse of
   * graft_encode for every codec (payloads are self-describing).
   */

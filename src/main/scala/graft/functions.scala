@@ -37,9 +37,21 @@ object functions {
   def graft_dict_hash(c: Column): Column =
     GraftSql.column(expr.GraftDictHash(GraftSql.expression(c)))
 
-  /** Range-block id for a bigint key against sorted exclusive upper bounds. */
+  /** Range-block id for a bigint key against sorted exclusive upper bounds
+    * (small literal form — for tests and few-block tables; the encode path
+    * uses the broadcast form below).
+    */
   def graft_range_bucket(key: Column, bounds: IndexedSeq[Long]): Column =
     GraftSql.column(expr.RangeBucket(GraftSql.expression(key), bounds))
+
+  /** Broadcast form of [[graft_range_bucket]]: bounds fetched once per
+    * executor instead of riding in every task's plan — required at millions
+    * of blocks.
+    */
+  def graft_range_bucket(
+      key: Column,
+      bounds: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    GraftSql.column(expr.RangeBucketDist(GraftSql.expression(key), bounds))
 
   /** MinHash signature (n seeded min-hashes) of an `array<string>` set. */
   def graft_minhash(c: Column, numHashes: Int): Column =

@@ -60,7 +60,13 @@ object GraftTable {
       parentId: Option[String],
       inputFingerprint: String,
       keyStrategy: String,
-      bounds: IndexedSeq[Long],
+      /** Parquet file of range-cut keys, relative to the table dir. Bounds
+        * are DATA, not metadata: at 10^12 rows / 64Ki-row blocks they are
+        * ~15M longs (~120 MB) — inlining them in the snapshot JSON (round 1)
+        * meant parsing 120 MB of JSON per table open and shipping the array
+        * in every task closure. None ⇔ single-block table.
+        */
+      boundsDir: Option[String],
       numBlocks: Int,
       blocksEncoded: Long,
       complete: Boolean,
@@ -126,12 +132,26 @@ object GraftTable {
       .filter(_.inputFingerprint == stats.fingerprint) // fp change => fresh encode
     val ver = currentSnapshot(spark, tableDir).map(_.version).getOrElse(0) + 1
 
-    val bounds: IndexedSeq[Long] = timed("bounds")(parent.map(_.bounds).getOrElse(
-      computeBounds(keyed, stats.rows, opts.targetRowsPerBlock, opts.sampleRows)))
+    // bounds: reuse the parent's bounds file on resume, else compute
+    // distributed (Ranks — no single-partition sort) and persist to a
+    // parquet file the snapshot references. Shipped to tasks as ONE
+    // broadcast per encode, never as a per-task plan literal.
+    val (bounds, boundsDir): (Array[Long], Option[String]) = timed("bounds")(parent match {
+      case Some(p) => (loadBounds(spark, tableDir, p), p.boundsDir)
+      case None =>
+        val b = computeBounds(keyed, stats.rows, opts.targetRowsPerBlock, opts.sampleRows)
+        if (b.isEmpty) (b, None)
+        else {
+          val dir = s"metadata/bounds/v$ver"
+          writeBounds(spark, s"$tableDir/$dir", b)
+          (b, Some(dir))
+        }
+    })
     val numBlocks = bounds.length + 1
+    val bcBounds = spark.sparkContext.broadcast(bounds)
 
     val withBlocks = keyed.withColumn(
-      "block_id", graft_range_bucket(col("_graft_key"), bounds))
+      "block_id", graft_range_bucket(col("_graft_key"), bcBounds))
 
     // resume (E5): encode only blocks absent from the parent manifest
     val notDone = parent match {
@@ -197,7 +217,7 @@ object GraftTable {
       val snapshotId = Hashing.sha256Hex(
         s"v$ver;parent=none;fp=${stats.fingerprint};empty")
       val snap = Snapshot(ver, snapshotId, None, stats.fingerprint,
-        KeyStrategy, bounds, numBlocks = 0, blocksEncoded = 0L,
+        KeyStrategy, boundsDir, numBlocks = 0, blocksEncoded = 0L,
         complete = true, rowCount = 0L, tokenCount = 0L, bytesTotal = 0L,
         plainBytes = 0L, contentSig = "0" * 16, dataDirs = Nil,
         manifestDirs = Nil, stats = stats.asJsonFields,
@@ -229,7 +249,7 @@ object GraftTable {
     val complete = blocksDone == numBlocks
     val snapshotId = Hashing.sha256Hex(
       s"v$ver;parent=${parent.map(_.snapshotId).getOrElse("none")};" +
-        s"fp=${stats.fingerprint};bounds=${bounds.mkString(",")};" +
+        s"fp=${stats.fingerprint};bounds=${boundsSig(bounds)};" +
         s"blocks=$blocksDone/$numBlocks;rows=${tot.getLong(1)};" +
         s"tokens=${tot.getLong(2)};bytes=${tot.getLong(3)};sig=$contentSig")
 
@@ -239,7 +259,7 @@ object GraftTable {
       parentId = parent.map(_.snapshotId),
       inputFingerprint = stats.fingerprint,
       keyStrategy = KeyStrategy,
-      bounds = bounds,
+      boundsDir = boundsDir,
       numBlocks = numBlocks,
       blocksEncoded = blocksDone,
       complete = complete,
@@ -261,42 +281,73 @@ object GraftTable {
       contentSig, complete)
   }
 
-  /** Range-block bounds from a hash-strided key sample. Two properties a
-    * plain `df.sample(seed)` + approxQuantile would NOT give:
+  /** Range-block bounds from a hash-strided key sample. Properties a plain
+    * `df.sample(seed)` + approxQuantile would NOT give:
     *   - layout independence: `sample()` seeds per partition, so the chosen
     *     rows (hence bounds, hence every block payload) would change with
     *     input split sizes / cluster parallelism. Selecting rows by
     *     `xxhash64(key) % stride == 0` depends only on the VALUES —
     *     identical bounds at local[2] and on 1000 executors;
-    *   - exact cut points: the sample (≤ max(sampleRows, 8·numBlocks) rows)
-    *     is globally sorted once and boundary rows are picked by rank —
-    *     no sketch-merge nondeterminism.
+    *   - exact cut points: boundary keys are picked by exact global rank
+    *     over the sample — no sketch-merge nondeterminism;
+    *   - distributed rank: [[Ranks.withRank]] range-shuffles the sample and
+    *     derives ranks from partition offsets. At 10^12 rows the sample is
+    *     ~8·numBlocks ≈ 10^8 rows — round 1's single-partition
+    *     `Window.orderBy` put all of them in ONE task; this sorts them
+    *     p-way parallel with ordinary spill-safe Tungsten sorts.
+    *
+    * Driver state is O(numBlocks) longs (the cut array itself, needed to
+    * build the broadcast) — ~120 MB at 15M blocks, the floor for a
+    * broadcast-probe design; a two-level bounds tree would shrink it but
+    * costs an extra probe per row.
     */
   private def computeBounds(
-      keyed: DataFrame, rows: Long, targetRows: Int, sampleRows: Long): IndexedSeq[Long] = {
+      keyed: DataFrame, rows: Long, targetRows: Int, sampleRows: Long): Array[Long] = {
     val numBlocks = math.max(1L, (rows + targetRows - 1) / targetRows.toLong)
-    if (numBlocks <= 1) return IndexedSeq.empty
+    if (numBlocks <= 1) return Array.empty
     val budget = math.max(sampleRows, numBlocks * 8L)
     val stride = math.max(1L, rows / budget)
-    // the sample feeds two jobs (count + rank-boundary collect) — persist
-    // it so the input is scanned once
     val s = keyed
       .where(col("_graft_key").isNotNull &&
         pmod(xxhash64(col("_graft_key")), lit(stride)) === 0)
       .select(col("_graft_key").as("k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parallelism = keyed.sparkSession.sparkContext.defaultParallelism
+    val (ranked, cnt, release) = Ranks.withRank(s, col("k"), "rn", parallelism * 2)
     try {
-      val cnt = s.count()
       if (cnt < numBlocks) // degenerate: few distinct sampled keys — one block
-        return IndexedSeq.empty
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
-      s.withColumn("rn", row_number().over(w))
+        return Array.empty
+      ranked
         // boundary rows: where floor(rn·numBlocks/cnt) crosses a bucket edge
         .where((col("rn") * numBlocks).divide(cnt).cast("long") =!=
           ((col("rn") - 1) * numBlocks).divide(cnt).cast("long"))
         .where(col("rn") =!= 1 && col("rn") =!= cnt) // interior cuts only
-        .select("k").collect().map(_.getLong(0)).distinct.sorted.toIndexedSeq
-    } finally { s.unpersist(false); () }
+        .select("k").collect().map(_.getLong(0)).distinct.sorted
+    } finally release()
+  }
+
+  /** Bounds file IO: one bigint column `k`, sorted on load. */
+  private def writeBounds(spark: SparkSession, path: String, bounds: Array[Long]): Unit = {
+    import spark.implicits._
+    spark.createDataset(bounds.toIndexedSeq).toDF("k")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private def loadBounds(spark: SparkSession, tableDir: String, snap: Snapshot): Array[Long] =
+    snap.boundsDir match {
+      case None => Array.empty
+      case Some(d) =>
+        spark.read.parquet(s"$tableDir/$d").collect().map(_.getLong(0)).sorted
+    }
+
+  /** Content signature of a bounds array for snapshot-id derivation —
+    * streaming digest, never a materialized mkString (15M bounds would be a
+    * ~150 MB string).
+    */
+  private def boundsSig(bounds: Array[Long]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    bounds.foreach { b => bb.clear(); bb.putLong(b); md.update(bb.array()) }
+    md.digest().map("%02x".format(_)).mkString
   }
 
   // -------------------------------------------------------------- decode
@@ -386,7 +437,10 @@ object GraftTable {
       if (p.manifestDirs.isEmpty) 0
       else readManifest(spark, tableDir, p)
         .agg(max(col("block_id").cast("int"))).head().getInt(0) + 1
+    // batch bounds are ephemeral (blocks are assigned and written within
+    // this call; append has no mid-batch resume) — broadcast only, no file
     val bounds = computeBounds(keyed, stats.rows, opts.targetRowsPerBlock, opts.sampleRows)
+    val bcBounds = spark.sparkContext.broadcast(bounds)
     val numNew = bounds.length + 1
 
     import spark.implicits._
@@ -394,7 +448,7 @@ object GraftTable {
     val encodeParts = math.max(1, math.min(numNew, parallelism * 2))
     val blocks = keyed
       .select(
-        (graft_range_bucket(col("_graft_key"), bounds) + blockOffset).as("block_id"),
+        (graft_range_bucket(col("_graft_key"), bcBounds) + blockOffset).as("block_id"),
         col("_graft_key").as("k"), col("doc_id"),
         col("tokens"), col("n_tok"), col("source"))
       .repartition(encodeParts, col("block_id"))
@@ -425,7 +479,7 @@ object GraftTable {
         s"rows=${tot.getLong(1)};tokens=${tot.getLong(2)};" +
         s"bytes=${tot.getLong(3)};sig=$contentSig")
     val snap = Snapshot(ver, snapshotId, Some(p.snapshotId), combinedFp,
-      KeyStrategy, p.bounds, totalBlocks, tot.getLong(0), complete = true,
+      KeyStrategy, p.boundsDir, totalBlocks, tot.getLong(0), complete = true,
       tot.getLong(1), tot.getLong(2), tot.getLong(3), tot.getLong(4),
       contentSig, dataDirs, manifestDirs, stats.asJsonFields,
       java.time.Instant.now().toString)
@@ -570,13 +624,13 @@ object GraftTable {
     val statsJson = s.stats.map { case (k, v) => s"${js(k)}: ${js(v)}" }
       .mkString("{", ", ", "}")
     s"""{
-       |  "format": "graft-table/1",
+       |  "format": "graft-table/2",
        |  "version": ${s.version},
        |  "snapshot_id": ${js(s.snapshotId)},
        |  "parent_id": ${s.parentId.map(js).getOrElse("null")},
        |  "input_fingerprint": ${js(s.inputFingerprint)},
        |  "key_strategy": ${js(s.keyStrategy)},
-       |  "bounds": [${s.bounds.mkString(", ")}],
+       |  "bounds_dir": ${s.boundsDir.map(js).getOrElse("null")},
        |  "num_blocks": ${s.numBlocks},
        |  "blocks_encoded": ${s.blocksEncoded},
        |  "complete": ${s.complete},
@@ -601,7 +655,7 @@ object GraftTable {
       parentId = (j \ "parent_id").extractOpt[String],
       inputFingerprint = (j \ "input_fingerprint").extract[String],
       keyStrategy = (j \ "key_strategy").extract[String],
-      bounds = (j \ "bounds").extract[Seq[Long]].toIndexedSeq,
+      boundsDir = (j \ "bounds_dir").extractOpt[String],
       numBlocks = (j \ "num_blocks").extract[Int],
       blocksEncoded = (j \ "blocks_encoded").extract[Long],
       complete = (j \ "complete").extract[Boolean],

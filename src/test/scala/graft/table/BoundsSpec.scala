@@ -1,0 +1,101 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Distributed bound planning (VERDICT r1 item 1): rank computation without
+  * a single-partition window, bounds persisted as a file (not snapshot
+  * JSON), and an encode at ≥100k blocks that would have been a single-task
+  * sort catastrophe under the round-1 design.
+  */
+class BoundsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  test("Ranks.withRank equals a global sort rank (distinct keys)") {
+    val df = (0 until 5000).map(i => (i * 2654435761L) % 100003L)
+      .distinct.toDF("k")
+    val (ranked, total, release) = Ranks.withRank(df, col("k"), "rn", 8)
+    try {
+      val got = ranked.select("k", "rn").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._2)
+      assert(total == got.length)
+      // rank i holds the i-th smallest key, ranks are dense 1..n
+      val sortedKeys: Array[Long] = got.map(_._1).sorted
+      val denseRanks: Array[Long] = (1L to total).toArray
+      assert(got.map(_._2).sameElements(denseRanks))
+      assert(got.map(_._1).sameElements(sortedKeys))
+    } finally release()
+  }
+
+  test("Ranks.withRank: key-at-rank is stable under duplicate keys") {
+    val dupes = (0 until 3000).map(i => (i % 7).toLong).toDF("k")
+    val (ranked, total, release) = Ranks.withRank(dupes, col("k"), "rn", 8)
+    try {
+      assert(total == 3000)
+      val byRank = ranked.select("rn", "k").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
+      // multiset sorted order: rank r must hold the r-th element of the
+      // sorted multiset regardless of tie order / layout
+      val expected = (0 until 3000).map(i => (i % 7).toLong).sorted.toArray
+      assert(byRank.sameElements(expected))
+    } finally release()
+  }
+
+  test("Ranks.withRank handles empty input") {
+    val (_, total, release) = Ranks.withRank(
+      Seq.empty[Long].toDF("k"), col("k"), "rn", 4)
+    try assert(total == 0L) finally release()
+  }
+
+  test("encode at 100k+ blocks: no single-task sort, bounds live in a file") {
+    // 110k rows at 1 row/block → ~110k range blocks. Under round 1's
+    // Window.orderBy design this put a 110k-row sort in ONE task and a
+    // 110k-entry array in the snapshot JSON + every task closure.
+    val n = 110000
+    val rows = spark.range(n.toLong).select(
+      col("id").cast("string").as("doc_id"),
+      array((col("id") % 31).cast("int"), ((col("id") + 7) % 31).cast("int")).as("tokens"),
+      lit(2).as("n_tok"),
+      concat(lit("src"), (col("id") % 4)).as("source"))
+    val dir = tmpDir("manyblocks")
+    val res = GraftTable.encode(rows, dir, GraftTable.Options(targetRowsPerBlock = 1))
+    assert(res.complete)
+    assert(res.numBlocks >= 100000, s"expected ≥100k blocks, got ${res.numBlocks}")
+    assert(res.rowCount == n.toLong)
+
+    // snapshot JSON references a bounds file instead of inlining the array
+    val snapText = Files.readString(
+      java.nio.file.Paths.get(s"$dir/metadata/v${res.version}.json"))
+    assert(snapText.contains("\"bounds_dir\""))
+    assert(!snapText.contains("\"bounds\":"))
+    val snap = GraftTable.currentSnapshot(spark, dir).get
+    assert(snap.boundsDir.isDefined)
+    val boundsRows = spark.read.parquet(s"$dir/${snap.boundsDir.get}").count()
+    assert(boundsRows == res.numBlocks - 1L,
+      s"bounds file rows $boundsRows != numBlocks-1 ${res.numBlocks - 1}")
+
+    // table still decodes correctly (spot-check totals, not 110k rows)
+    val agg = GraftTable.decode(spark, dir).toDF()
+      .agg(count(lit(1)), sum("n_tok")).head()
+    assert(agg.getLong(0) == n.toLong && agg.getLong(1) == 2L * n)
+  }
+
+  test("single-block table has no bounds file and resumes as a no-op") {
+    val rows = (0 until 50).map(i =>
+      TokenRow(i.toString, Array(1, 2, 3), 3, "s")).toDF()
+    val dir = tmpDir("oneblock")
+    val r1 = GraftTable.encode(rows, dir, GraftTable.Options(targetRowsPerBlock = 1000))
+    assert(r1.numBlocks == 1)
+    assert(GraftTable.currentSnapshot(spark, dir).get.boundsDir.isEmpty)
+    val r2 = GraftTable.encode(rows, dir, GraftTable.Options(targetRowsPerBlock = 1000))
+    assert(r2.blocksEncodedThisRun == 0 && r2.snapshotId == r1.snapshotId)
+  }
+}
