@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{graft_decode, graft_encode}
@@ -53,14 +52,12 @@ object SparkEntry {
         .orderBy(col("doc_id").cast("long"))
     }),
 
-    // E2/E3 vocab discovery (sorted distinct words with frequencies)
+    // E2/E3 vocab discovery: distributed rank id assignment (Ranks — no
+    // single-partition window), cached per (session, corpus)
     "q_vocab" -> ((s, dir) => {
-      Tokenize.documents(s, dir)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .withColumn("token_id",
-          (row_number().over(Window.orderBy("word")) - 1).cast("long"))
-        .select(col("token_id"), col("word"), col("cnt").cast("long").as("cnt"))
+      val entries = Tokenize.cachedVocab(s, dir)._1
+      s.createDataFrame(entries.toIndexedSeq)
+        .select(col("token_id"), col("word"), col("cnt"))
         .orderBy("word")
     }),
 

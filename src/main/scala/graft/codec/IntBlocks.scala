@@ -43,7 +43,7 @@ object IntBlocks {
     */
   val FsstMinN = 1024
 
-  final case class Choice(id: Int, bytes: Int, candidateSizes: Map[String, Int]) {
+  final case class Choice(id: Int, bytes: Int, candidateSizes: Map[String, Long]) {
     def name: String = names(id)
   }
 
@@ -108,28 +108,31 @@ object IntBlocks {
       if (n > 0) rleBody += zzLen(values(runStart)) + varLen(n - runStart)
     }
 
-    def sizePlain: Int = 1 + varLen(n) + 4 * n
-    def sizeBitpack: Option[Int] =
+    // sizes are Long: 4*n alone overflows Int at n > 2^29 tokens, well
+    // below BlockAssembler's 2^31 guard — Int math here made the selector
+    // compare garbage on giant hot-key blocks (ADVICE r1)
+    def sizePlain: Long = 1L + varLen(n) + 4L * n
+    def sizeBitpack: Option[Long] =
       if (n > 0 && min < 0) None
-      else if (n == 0) Some(1 + varLen(n) + 1) // width byte always written
-      else Some(1 + varLen(n) + 1 + BitPack.packedBytes(n, BitPack.bits(max)).toInt)
-    def sizeFor: Int =
-      if (n == 0) 1 + varLen(n)
-      else 1 + varLen(n) + zzLen(min) + 1 +
-        BitPack.packedBytes(n, BitPack.bits(max.toLong - min.toLong)).toInt
-    def sizeDeltaFor: Int =
-      if (n == 0) 1 + varLen(n)
-      else if (n == 1) 1 + varLen(n) + zzLen(values(0))
-      else 1 + varLen(n) + zzLen(values(0)) + zzLenL(minD) + 1 +
-        BitPack.packedBytes(n - 1, BitPack.bits(maxD - minD)).toInt
-    def sizeRle: Int = 1 + varLen(n) + rleBody.toInt
+      else if (n == 0) Some(1L + varLen(n) + 1L) // width byte always written
+      else Some(1L + varLen(n) + 1L + BitPack.packedBytes(n, BitPack.bits(max)))
+    def sizeFor: Long =
+      if (n == 0) 1L + varLen(n)
+      else 1L + varLen(n) + zzLen(min) + 1L +
+        BitPack.packedBytes(n, BitPack.bits(max.toLong - min.toLong))
+    def sizeDeltaFor: Long =
+      if (n == 0) 1L + varLen(n)
+      else if (n == 1) 1L + varLen(n) + zzLen(values(0))
+      else 1L + varLen(n) + zzLen(values(0)) + zzLenL(minD) + 1L +
+        BitPack.packedBytes(n - 1, BitPack.bits(maxD - minD))
+    def sizeRle: Long = 1L + varLen(n) + rleBody
   }
 
   /** Exact payload size of `id` over `values` without materializing it
     * (DICT/FSST return None — constructive only). Package-visible for the
     * exactness property test.
     */
-  private[codec] def exactSize(id: Int, values: Array[Int]): Option[Int] = {
+  private[codec] def exactSize(id: Int, values: Array[Int]): Option[Long] = {
     val a = new Analysis(values)
     id match {
       case PLAIN => Some(a.sizePlain)
@@ -152,7 +155,7 @@ object IntBlocks {
       allowFsst: Boolean = true): (Array[Byte], Choice) = {
     val cands = candidateIds(values, allowDict, allowFsst)
     val a = new Analysis(values)
-    val sizes = mutable.LinkedHashMap.empty[String, Int]
+    val sizes = mutable.LinkedHashMap.empty[String, Long]
     var fsstPayload: Array[Byte] = null
     var dictPayload: Array[Byte] = null
     cands.foreach {
@@ -164,17 +167,17 @@ object IntBlocks {
       case PFOR =>
         // budget-pruned: exact-size passes only run when PFOR can still
         // beat the cheapest analytic candidate computed so far
-        val budget = if (sizes.isEmpty) Int.MaxValue else sizes.values.min
+        val budget = if (sizes.isEmpty) Long.MaxValue else sizes.values.min
         pforSize(values, budget).foreach(sizes(names(PFOR)) = _)
       case DICT =>
         dictPayload = encodeWith(DICT, values)
-        sizes(names(DICT)) = dictPayload.length
+        sizes(names(DICT)) = dictPayload.length.toLong
       case FSST =>
         fsstPayload = encodeWith(FSST, values)
-        sizes(names(FSST)) = fsstPayload.length
+        sizes(names(FSST)) = fsstPayload.length.toLong
     }
     var bestId = -1
-    var bestSize = Int.MaxValue
+    var bestSize = Long.MaxValue
     cands.foreach { id =>
       sizes.get(names(id)).foreach { s =>
         if (s < bestSize) { bestSize = s; bestId = id }
@@ -368,7 +371,7 @@ object IntBlocks {
   /** Exact best (width, exceptions, totalBytes); None when n == 0 or no
     * width with ≤ 25% exceptions beats packing everything (then FOR wins).
     */
-  private def pforPlan(values: Array[Int], budget: Int = Int.MaxValue): Option[(Int, Int, Int)] = {
+  private def pforPlan(values: Array[Int], budget: Long = Long.MaxValue): Option[(Int, Int, Long)] = {
     val n = values.length
     if (n == 0) return None
     var min = Int.MaxValue
@@ -381,8 +384,8 @@ object IntBlocks {
     i = 0
     while (i < n) { cnt(BitPack.bits(values(i).toLong - min.toLong)) += 1; i += 1 }
 
-    val headBase = 1 + varLen(n) + zzLen(min) + 1
-    var best: Option[(Int, Int, Int)] = None
+    val headBase = 1L + varLen(n) + zzLen(min) + 1L
+    var best: Option[(Int, Int, Long)] = None
     var w = 0
     while (w < maxB) {
       var ex = 0
@@ -390,7 +393,7 @@ object IntBlocks {
       while (b <= maxB) { ex += cnt(b); b += 1 }
       // candidate only when patches are rare; optimistic bound prunes
       val optimistic = headBase + varLen(ex) +
-        BitPack.packedBytes(n, w).toInt + 2 * ex
+        BitPack.packedBytes(n, w) + 2L * ex
       if (ex <= n / 4 && optimistic < budget && best.forall(optimistic < _._3)) {
         var exBytes = 0L
         var lastPos = -1
@@ -404,7 +407,7 @@ object IntBlocks {
           i += 1
         }
         val total = headBase + varLen(ex) +
-          BitPack.packedBytes(n, w).toInt + exBytes.toInt
+          BitPack.packedBytes(n, w) + exBytes
         if (best.forall(total < _._3)) best = Some((w, ex, total))
       }
       w += 1
@@ -412,7 +415,7 @@ object IntBlocks {
     best
   }
 
-  private[codec] def pforSize(values: Array[Int], budget: Int = Int.MaxValue): Option[Int] =
+  private[codec] def pforSize(values: Array[Int], budget: Long = Long.MaxValue): Option[Long] =
     pforPlan(values, budget).map(_._3)
 
   private def encPfor(values: Array[Int], w: ByteWriter): Unit = {

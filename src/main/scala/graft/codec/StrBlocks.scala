@@ -20,7 +20,7 @@ object StrBlocks {
   val names: Map[Int, String] = Map(
     STR_PLAIN -> "str_plain", STR_NUMERIC -> "str_numeric", STR_DICT -> "str_dict")
 
-  final case class Choice(id: Int, bytes: Int, candidateSizes: Map[String, Int]) {
+  final case class Choice(id: Int, bytes: Int, candidateSizes: Map[String, Long]) {
     def name: String = names(id)
   }
 
@@ -30,9 +30,9 @@ object StrBlocks {
     val n = values.length
     var best: Array[Byte] = null
     var bestId = -1
-    val sizes = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val sizes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def consider(id: Int, enc: => Option[Array[Byte]]): Unit = enc.foreach { e =>
-      sizes(names(id)) = e.length
+      sizes(names(id)) = e.length.toLong
       if (best == null || e.length < best.length) { best = e; bestId = id }
     }
     consider(STR_PLAIN, Some(encPlain(values)))

@@ -54,32 +54,54 @@ object Dedup {
     * a Jaccard-0.9 pair is missed with probability ~1e-7. Candidates are
     * then verified exactly, so the output contains no false positives.
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b (numeric order).
+    *
+    * Shuffle weight: the band rows and the candidate self-join carry ONLY
+    * (doc_id, band, bucket) — full shingle sets re-join AFTER pair-level
+    * dedup, so each document's shingles cross the wire once per verified
+    * candidate side, never ×bands (round 1 shipped both shingle arrays
+    * through every banded join row and the dropDuplicates shuffle).
+    *
+    * `maxBucket` bounds the within-bucket quadratic term against
+    * adversarial/degenerate skew (e.g. thousands of identical documents
+    * landing in one bucket of every band): buckets above the cap are
+    * skipped. That trades recall ON DEGENERATE BUCKETS ONLY — run [[exact]]
+    * dedup first so identical texts never reach the LSH stage, which is
+    * also the cheaper order at scale.
     */
   def minHashLsh(
       docs: DataFrame,
       shingleK: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.9): DataFrame = {
-    val spark = docs.sparkSession
+      threshold: Double = 0.9,
+      maxBucket: Int = 4096): DataFrame = {
     val numHashes = bands * rowsPerBand
 
     val sh = docs.select(
       col("doc_id").cast("string").as("doc_id"),
       shingles(col("text"), shingleK).as("sh"))
-    val sig = sh.withColumn("sig", graft_minhash(col("sh"), numHashes))
+    val sig = sh.select(
+      col("doc_id"), graft_minhash(col("sh"), numHashes).as("sig"))
 
-    // band key = (band index, hash of the band's slice of the signature)
+    // band key = (band index, hash of the band's slice of the signature);
+    // ids only — no shingle payload
     val banded = sig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+    // bucket-size cap: drop degenerate buckets before the self-join
+    val smallBuckets = banded
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bsize"))
+      .where(col("bsize") <= maxBucket)
+      .select("band", "bucket")
+    val capped = banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+
+    val a = capped.alias("a")
+    val b = capped.alias("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
@@ -87,12 +109,13 @@ object Dedup {
           (length(col("a.doc_id")) < length(col("b.doc_id")) ||
             (length(col("a.doc_id")) === length(col("b.doc_id")) &&
               col("a.doc_id") < col("b.doc_id"))))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // same pair from multiple bands
 
+    // exact verification: shingles join back on the deduped id pairs
     candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", col("inter") / col("uni"))

@@ -8,11 +8,16 @@ import graft.table.GraftTable
 /** Structured Streaming ingest into the encoded table: each micro-batch is
   * appended as its own set of blocks via [[GraftTable.append]] inside
   * `foreachBatch`, so the batch and streaming paths share one encode
-  * implementation and one table format. Exactly-once at the table level
-  * comes from the combination of Spark's checkpointed batch ids and the
-  * append path's snapshot commit (a crashed batch leaves an orphan data dir
-  * that the next attempt overwrites — versions only become visible via the
-  * snapshot pointer).
+  * implementation and one table format.
+  *
+  * Exactly-once at the table level (single-writer stream): Spark replays
+  * the last uncommitted batch after a crash, so the sink must be
+  * idempotent per batchId. The applied batchId is recorded in the snapshot
+  * metadata at commit; a replayed batch whose id is ≤ the recorded one is
+  * skipped (the crash happened AFTER the table commit but before the
+  * streaming checkpoint commit — the rows are already in the table).
+  * Without that check the replay would append the same rows again as a new
+  * version (at-least-once, ADVICE r1).
   *
   * The reference had no streaming surface (batch MapReduce only); this is
   * the Spark-native extension: the same `doc_id/tokens/n_tok/source` rows
@@ -20,6 +25,29 @@ import graft.table.GraftTable
   * Iceberg-shaped table that [[GraftTable.decode]] reads.
   */
 object StreamingEncode {
+
+  private[streaming] val BatchKey = "stream_batch_id"
+
+  /** Idempotent per-batch apply; returns true when the batch was appended,
+    * false when skipped as already applied. Exposed for direct testing of
+    * the replay path.
+    */
+  def applyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      tableDir: String,
+      opts: GraftTable.Options = GraftTable.Options()): Boolean = {
+    val spark = batch.sparkSession
+    val applied = GraftTable.currentSnapshot(spark, tableDir)
+      .flatMap(_.stats.toMap.get(BatchKey)).map(_.toLong)
+    if (applied.exists(batchId <= _)) false
+    else if (batch.isEmpty) false
+    else {
+      GraftTable.append(batch, tableDir, opts,
+        extraMeta = Map(BatchKey -> batchId.toString))
+      true
+    }
+  }
 
   def start(
       stream: DataFrame,
@@ -31,8 +59,8 @@ object StreamingEncode {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { GraftTable.append(batch, tableDir, opts); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, tableDir, opts); ()
       }
       .start()
 }

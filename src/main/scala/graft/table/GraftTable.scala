@@ -52,7 +52,13 @@ object GraftTable {
       targetRowsPerBlock: Int = 1 << 16,
       sampleRows: Long = 1L << 20,
       /** Test/backfill hook: restrict this run to a subset of block ids. */
-      blockFilter: Option[Int => Boolean] = None)
+      blockFilter: Option[Int => Boolean] = None,
+      /** Before trusting a resume candidate (scalar fingerprint match),
+        * confirm token VALUES by decode-and-compare (see [[encode]] doc).
+        * Disable only when input immutability is guaranteed externally and
+        * the two confirm scans matter.
+        */
+      verifyResume: Boolean = true)
 
   final case class Snapshot(
       version: Int,
@@ -120,8 +126,22 @@ object GraftTable {
     * key). Duplicate ids still round-trip correctly, but rows that tie on
     * (key, doc_id) have no further sort key, so snapshot determinism is
     * only guaranteed for unique ids.
+    *
+    * Resume safety: the cheap scalar fingerprint (row/token counts, token
+    * min/max, per-row (doc_id, n_tok, source) xor) intentionally excludes
+    * token VALUES — hashing every token on every encode would tax the hot
+    * path ~15 ns/token for a rare event. Instead, a scalar-matching resume
+    * candidate is CONFIRMED by value (decode the done blocks and xor-hash
+    * full rows on both sides — ~5× cheaper than re-encoding and paid only
+    * on the resume path). An input whose tokens changed while preserving
+    * the scalar stats therefore triggers a fresh encode, not a silent
+    * stale-table no-op. Opt out via [[Options.verifyResume]].
     */
-  def encode(tokens: DataFrame, tableDir: String, opts: Options = Options()): EncodeResult = {
+  def encode(
+      tokens: DataFrame,
+      tableDir: String,
+      opts: Options = Options(),
+      extraMeta: Map[String, String] = Map.empty): EncodeResult = {
     val spark = tokens.sparkSession
     val keyed = tokens.select(
       col("doc_id"), col("tokens"), col("n_tok"), col("source"),
@@ -130,6 +150,8 @@ object GraftTable {
     val stats = timed("stats")(Stats.collect(keyed, opts.sampleRows))
     val parent = currentSnapshot(spark, tableDir)
       .filter(_.inputFingerprint == stats.fingerprint) // fp change => fresh encode
+      .filter(p => !opts.verifyResume ||
+        timed("resume-confirm")(resumeValuesMatch(spark, tableDir, p, keyed)))
     val ver = currentSnapshot(spark, tableDir).map(_.version).getOrElse(0) + 1
 
     // bounds: reuse the parent's bounds file on resume, else compute
@@ -220,7 +242,7 @@ object GraftTable {
         KeyStrategy, boundsDir, numBlocks = 0, blocksEncoded = 0L,
         complete = true, rowCount = 0L, tokenCount = 0L, bytesTotal = 0L,
         plainBytes = 0L, contentSig = "0" * 16, dataDirs = Nil,
-        manifestDirs = Nil, stats = stats.asJsonFields,
+        manifestDirs = Nil, stats = (stats.asJsonFields ++ extraMeta.toSeq).sorted,
         committedAt = java.time.Instant.now().toString)
       writeString(spark, s"$tableDir/metadata/v$ver.json", renderSnapshot(snap))
       writeString(spark, s"$tableDir/metadata/current", ver.toString)
@@ -270,7 +292,7 @@ object GraftTable {
       contentSig = contentSig,
       dataDirs = dataDirs,
       manifestDirs = manifestDirs,
-      stats = stats.asJsonFields,
+      stats = (stats.asJsonFields ++ extraMeta.toSeq).sorted,
       committedAt = java.time.Instant.now().toString)
 
     writeString(spark, s"$tableDir/metadata/v$ver.json", renderSnapshot(snap))
@@ -323,6 +345,43 @@ object GraftTable {
         .where(col("rn") =!= 1 && col("rn") =!= cnt) // interior cuts only
         .select("k").collect().map(_.getLong(0)).distinct.sorted
     } finally release()
+  }
+
+  /** Full-row value hash, type-pinned so the input and decoded sides hash
+    * identically regardless of caller column types.
+    */
+  private def rowXorExpr =
+    expr("bit_xor(xxhash64(cast(doc_id as string), cast(n_tok as int), " +
+      "cast(source as string), tokens))")
+
+  /** Confirm a resume candidate by VALUE: xor-hash of full rows on the
+    * decoded done-blocks vs the same hash over the input rows that map to
+    * those blocks. Codecs are deterministic and bit-exact, so equal hashes
+    * ⇔ the stored table is byte-for-byte the encode of this input. Catches
+    * the scalar-fingerprint blind spot (token values permuted while counts
+    * and global min/max hold — ADVICE r1) at decode speed instead of
+    * hashing every token on every encode.
+    */
+  private def resumeValuesMatch(
+      spark: SparkSession, tableDir: String, p: Snapshot, keyed: DataFrame): Boolean = {
+    if (p.numBlocks == 0) return true // empty parent ⇔ empty input (fp pins rows=0)
+    def xorOf(df: DataFrame): Long = {
+      val r = df.agg(rowXorExpr.as("x")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val decodedXor = xorOf(decode(spark, tableDir).toDF())
+    val inputXor =
+      if (p.complete) xorOf(keyed)
+      else {
+        // partial parent: compare only input rows that land in done blocks
+        val done = readManifest(spark, tableDir, p)
+          .select(col("block_id").cast("int").as("block_id")).distinct()
+        val bc = spark.sparkContext.broadcast(loadBounds(spark, tableDir, p))
+        xorOf(keyed
+          .withColumn("block_id", graft_range_bucket(col("_graft_key"), bc))
+          .join(done, Seq("block_id"), "left_semi"))
+      }
+    decodedXor == inputXor
   }
 
   /** Bounds file IO: one bigint column `k`, sorted on load. */
@@ -417,10 +476,14 @@ object GraftTable {
     * union of all live blocks. Lineage chains through parent snapshot ids
     * with a combined fingerprint.
     */
-  def append(batch: DataFrame, tableDir: String, opts: Options = Options()): EncodeResult = {
+  def append(
+      batch: DataFrame,
+      tableDir: String,
+      opts: Options = Options(),
+      extraMeta: Map[String, String] = Map.empty): EncodeResult = {
     val spark = batch.sparkSession
     val parent = currentSnapshot(spark, tableDir)
-    if (parent.isEmpty) return encode(batch, tableDir, opts)
+    if (parent.isEmpty) return encode(batch, tableDir, opts, extraMeta)
     val p = parent.get
     val ver = p.version + 1
 
@@ -481,7 +544,8 @@ object GraftTable {
     val snap = Snapshot(ver, snapshotId, Some(p.snapshotId), combinedFp,
       KeyStrategy, p.boundsDir, totalBlocks, tot.getLong(0), complete = true,
       tot.getLong(1), tot.getLong(2), tot.getLong(3), tot.getLong(4),
-      contentSig, dataDirs, manifestDirs, stats.asJsonFields,
+      contentSig, dataDirs, manifestDirs,
+      (stats.asJsonFields ++ extraMeta.toSeq).sorted,
       java.time.Instant.now().toString)
     writeString(spark, s"$tableDir/metadata/v$ver.json", renderSnapshot(snap))
     writeString(spark, s"$tableDir/metadata/current", ver.toString)
@@ -560,10 +624,14 @@ object GraftTable {
       spark: SparkSession, tableDir: String, minId: Long, maxId: Long): Dataset[TokenRow] = {
     // live blocks whose [doc_id_min, doc_id_max] intersects [minId, maxId]
     // — works for both ranged encodes and appended versions; the id set is
-    // applied as a semi join so it never collects to the driver
+    // applied as a semi join so it never collects to the driver. A block
+    // whose min/max doc_id is NON-numeric casts to NULL — such blocks can
+    // still contain in-range numeric ids (hash-key fallback interleaves
+    // them), so NULL bounds are NON-prunable (coalesce → keep) and the
+    // exact row filter below decides.
     val hit = readManifest(spark, tableDir)
-      .where(expr("try_cast(doc_id_max as bigint)") >= minId &&
-        expr("try_cast(doc_id_min as bigint)") <= maxId)
+      .where(coalesce(expr("try_cast(doc_id_max as bigint)") >= minId, lit(true)) &&
+        coalesce(expr("try_cast(doc_id_min as bigint)") <= maxId, lit(true)))
       .select(col("ver").cast("int").as("ver"),
         col("block_id").cast("int").as("block_id"))
     decodeBlocks(spark, tableDir, hit)

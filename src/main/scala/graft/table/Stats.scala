@@ -73,11 +73,13 @@ object Stats {
   }
 
   def collect(keyed: DataFrame, sampleRows: Long = 1L << 20): ColumnStats = {
-    // fingerprint hashes the cheap scalar fields only: hashing the tokens
-    // array costs ~0.9 µs/token (measured — it would dominate the whole
-    // encode job), and row count + token sum + value min/max already pin
-    // down adds/removes/reorders/length changes. Token-VALUE integrity is
-    // the verify job's charter (bit-identical round-trip), not resume's.
+    // fingerprint hashes the cheap scalar fields only: hashing every token
+    // would tax the hot path (~15 ns/token measured at local[8]) for a
+    // rare event, and row count + token sum + value min/max already pin
+    // down adds/removes/length changes. The blind spot (token VALUES
+    // permuted under identical scalars) is closed at resume time by
+    // GraftTable.resumeValuesMatch — a decode-and-compare confirm paid
+    // only when a snapshot is about to be trusted as current.
     val full = timed("stats-full")(keyed.agg(
       count(lit(1)).as("rows"),
       sum(col("n_tok").cast("long")).as("tokens_total"),

@@ -37,7 +37,7 @@ object CodecProbe {
     val flat = tokensPerDoc.flatten
 
     def report(col: String, enc: Array[Byte], plainBytes: Long, ok: Boolean,
-               choice: String, cands: Map[String, Int]): Unit = {
+               choice: String, cands: Map[String, Long]): Unit = {
       println(f"$col%-8s codec=$choice%-11s bytes=${enc.length}%8d plain=$plainBytes%8d " +
         f"ratio=${enc.length.toDouble / plainBytes}%.4f roundtrip=${if (ok) "OK" else "MISMATCH"} candidates=$cands")
     }

@@ -43,6 +43,25 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == brute)
   }
 
+  test("minhash-LSH bucket cap bounds degenerate buckets, small buckets unaffected") {
+    // 1000 identical docs (the adversarial case: same signature → same
+    // bucket in EVERY band → a quadratic 16×C(1000,2) candidate join
+    // without the cap) + one genuine near-dup pair from the real corpus
+    val nearDup = docs.orderBy("doc_id").limit(1)
+      .select(col("text")).as[String].head()
+    val words = nearDup.split(" ")
+    val tweaked = (words.take(words.length - 1) :+ "zzz").mkString(" ")
+    val degenerate = (0 until 1000).map(i => (s"dg$i", nearDup + " " + nearDup))
+    val planted = (degenerate ++ Seq(("1", nearDup), ("2", tweaked)))
+      .toDF("doc_id", "text")
+    val out = Dedup.minHashLsh(planted, threshold = 0.5, maxBucket = 50)
+      .select("doc_a", "doc_b").as[(String, String)].collect().toSet
+    // the 1000-doc cluster's buckets exceed the cap in every band → skipped
+    assert(!out.exists { case (a, b) => a.startsWith("dg") || b.startsWith("dg") })
+    // the small-bucket near-dup pair is still found
+    assert(out.contains(("1", "2")), s"planted pair missing from $out")
+  }
+
   test("simhash: near-identical long docs land far closer than unrelated ones") {
     // SimHash needs enough terms for the per-bit counters to concentrate;
     // replicate each text 20× so a single-word change perturbs counters by

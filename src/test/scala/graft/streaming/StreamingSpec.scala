@@ -72,6 +72,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(again.snapshotId == res.snapshotId)
   }
 
+  test("replayed batch is skipped (exactly-once at the table level)") {
+    // simulate the crash window: the table commit succeeded but the
+    // streaming checkpoint did not, so foreachBatch re-delivers the SAME
+    // batchId — the sink must not append the rows twice
+    val dir = Files.createTempDirectory("graft-replay").toString
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    val b0 = source.where(col("doc_id").cast("long") < 100).toDF()
+    assert(StreamingEncode.applyBatch(b0, 0L, dir, opts))
+    val v1 = GraftTable.currentSnapshot(spark, dir).get
+    assert(!StreamingEncode.applyBatch(b0, 0L, dir, opts), "replay not skipped")
+    assert(GraftTable.currentSnapshot(spark, dir).get.snapshotId == v1.snapshotId)
+    assert(GraftTable.decode(spark, dir).count() == 100)
+    // the NEXT batch still applies
+    val b1 = source.where(col("doc_id").cast("long").between(100, 199)).toDF()
+    assert(StreamingEncode.applyBatch(b1, 1L, dir, opts))
+    assert(GraftTable.decode(spark, dir).count() == 200)
+    // and an old batchId arriving after newer commits is also skipped
+    assert(!StreamingEncode.applyBatch(b0, 0L, dir, opts))
+    assert(GraftTable.decode(spark, dir).count() == 200)
+  }
+
   test("streaming ingest: micro-batches append and round-trip") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-stream").toString

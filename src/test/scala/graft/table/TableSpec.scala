@@ -272,6 +272,50 @@ class TableSpec extends AnyFunSuite {
     assert(decoded.sameElements(expected))
   }
 
+  test("resume-confirm: token permutation under identical scalar stats re-encodes") {
+    // reverse one doc's tokens: row count, token totals, per-row n_tok,
+    // (doc_id, n_tok, source) xor, and global token min/max all hold — the
+    // scalar fingerprint CANNOT see this; the decode-and-compare confirm
+    // must (ADVICE r1: silently serving the stale table was the failure)
+    val dir = tmpDir("valconfirm")
+    val opts = GraftTable.Options(targetRowsPerBlock = 128)
+    val r1 = GraftTable.encode(source.toDF(), dir, opts)
+    val altered = source.toDF().withColumn("tokens",
+      when(col("doc_id") === "0", reverse(col("tokens"))).otherwise(col("tokens")))
+    // sanity: the permutation is real
+    assert(altered.where(col("doc_id") === "0").head().getSeq[Int](1) !=
+      source.toDF().where(col("doc_id") === "0").head().getSeq[Int](1))
+    val r2 = GraftTable.encode(altered, dir, opts)
+    assert(r2.version == r1.version + 1, "stale table served for changed tokens")
+    assert(r2.blocksEncodedThisRun == r2.numBlocks.toLong)
+    // the table now decodes the ALTERED rows
+    val dec0 = GraftTable.decode(spark, dir).toDF()
+      .where(col("doc_id") === "0").head().getSeq[Int](1)
+    assert(dec0 == altered.where(col("doc_id") === "0").head().getSeq[Int](1))
+    // and an unchanged re-run still no-ops (confirm passes)
+    val r3 = GraftTable.encode(altered, dir, opts)
+    assert(r3.blocksEncodedThisRun == 0 && r3.snapshotId == r2.snapshotId)
+  }
+
+  test("decodeRange keeps blocks with non-numeric manifest bounds (NULL-cast prune)") {
+    import spark.implicits._
+    // ~200 non-numeric ids (hash keys, interleaving negatives/positives)
+    // around 20 numeric ids: the numeric rows land inside blocks whose
+    // doc_id_min/max are NON-numeric, which the old prune cast to NULL and
+    // dropped — silently losing in-range rows
+    val rows = (0 until 200).map(i =>
+      TokenRow(s"alpha-$i", Array(i % 31), 1, "s")) ++
+      (1 to 20).map(i => TokenRow(i.toString, Array(i % 31), 1, "s"))
+    val dir = tmpDir("nullprune")
+    val res = GraftTable.encode(rows.toDF(), dir,
+      GraftTable.Options(targetRowsPerBlock = 64))
+    assert(res.complete && res.numBlocks > 1)
+    val got: Array[Long] = GraftTable.decodeRange(spark, dir, 5L, 15L)
+      .select("doc_id").as[String].collect().map(_.toLong).sorted
+    val want: Array[Long] = (5L to 15L).toArray
+    assert(got.sameElements(want), s"decodeRange lost rows: ${got.mkString(",")}")
+  }
+
   test("input change invalidates resume (fingerprint mismatch → fresh encode)") {
     val dir = tmpDir("fp")
     val opts = GraftTable.Options(targetRowsPerBlock = 128)
