@@ -198,6 +198,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the SCALE ANN path: banded hyperplane LSH top-k must EQUAL the exact
+    // brute-force top-k on this corpus (the oracle recomputes brute force —
+    // equality proves candidate recall at the default band width)
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // the SCALE near-dup path: banded-LSH pair generation must EQUAL the
+    // brute-force cosine pairs at the same threshold
+    "q_embed_neardup_lsh" -> ((s, dir) => {
+      Dedup.embeddingNearDup(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        threshold = 0.46, bands = 16, rowsPerBand = 2)
+        .select(col("vec_a"), col("vec_b"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // text quality signals (ratios as ppm integers: engine-exact compare)
     "q_text_quality" -> ((s, dir) => {
       TextAnalysis.quality(s.read.parquet(s"$dir/documents.parquet"))
@@ -251,6 +271,21 @@ object SparkEntry {
           max(col("tok_max")).cast("long").as("t_max"))
     }),
 
+    // manifest invariants as a hash-checked oracle entry (VERDICT r1 item
+    // 7): row/token/plain-byte totals and id bounds summed from the
+    // manifest must equal the same totals recomputed from raw documents —
+    // plain_bytes is deterministic (len(doc_id)+len(source)+4+4·n_tok)
+    "q_manifest_totals" -> ((s, dir) => {
+      val tdir = encodedTableDir(s, dir)
+      GraftTable.readManifest(s, tdir)
+        .agg(
+          sum("row_count").cast("long").as("docs"),
+          sum("token_count").cast("long").as("tokens"),
+          sum("plain_bytes").cast("long").as("plain_bytes"),
+          min(expr("try_cast(doc_id_min as bigint)")).cast("long").as("id_min"),
+          max(expr("try_cast(doc_id_max as bigint)")).cast("long").as("id_max"))
+    }),
+
     // E10 + manifest pruning: decode only a doc_id range (block-level
     // elimination via manifest min/max + exact row filter)
     "q_decode_range" -> ((s, dir) => {
@@ -287,6 +322,17 @@ object SparkEntry {
           col("blocks").cast("long").as("blocks"),
           col("bytes").cast("long").as("bytes"))
         .orderBy("column", "codec")
+    }),
+
+    // R9 completion: GENERIC parquet introspection — schema + per-column
+    // stats over an arbitrary (non-graft) table, here TPC-H lineitem
+    "q_describe_any" -> ((s, dir) => {
+      GraftTable.describeAny(s, s"$dir/lineitem.parquet")
+        .select(col("column"),
+          col("cnt").cast("long").as("cnt"),
+          col("nulls").cast("long").as("nulls"),
+          col("min_str"), col("max_str"))
+        .orderBy("column")
     }),
 
     // multimodal plumbing: synthetic media payloads → stub decode; header
@@ -453,6 +499,56 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the LSH top-k must equal exact brute force (recall proof)
+    "q_ann_lsh" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank,
+        |       CAST(vec_id AS BIGINT) AS vec_id
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the banded-LSH pair set must equal brute-force cosine pairs
+    "q_embed_neardup_lsh" ->
+      """SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.46
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_manifest_totals" ->
+      """SELECT CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS tokens,
+        |       CAST(sum(length(CAST(doc_id AS VARCHAR)) + length(source)
+        |                + 4 + 4 * len(string_split(text,' '))) AS BIGINT) AS plain_bytes,
+        |       CAST(min(CAST(doc_id AS BIGINT)) AS BIGINT) AS id_min,
+        |       CAST(max(CAST(doc_id AS BIGINT)) AS BIGINT) AS id_max
+        |FROM documents""".stripMargin,
+
+    // generic introspection over lineitem: the oracle recomputes the same
+    // per-column stats (min/max only for engine-portable types). The
+    // correctness pass runs at sf0.01, hence the pinned path.
+    "q_describe_any" ->
+      (Seq(
+        ("l_orderkey", true), ("l_partkey", true), ("l_suppkey", true),
+        ("l_linenumber", true), ("l_quantity", false), ("l_extendedprice", false),
+        ("l_discount", false), ("l_tax", false), ("l_returnflag", true),
+        ("l_linestatus", true), ("l_shipdate", false))
+        .sortBy(_._1)
+        .map { case (c, portable) =>
+          val minMax =
+            if (portable) s"CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str"
+            else "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+          s"""SELECT '$c' AS "column", CAST(count($c) AS BIGINT) AS cnt,
+             |  CAST(count(*) - count($c) AS BIGINT) AS nulls, $minMax
+             |FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet')""".stripMargin
+        }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),
 
     "q_text_quality" ->
       """WITH t AS (

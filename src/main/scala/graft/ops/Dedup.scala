@@ -178,20 +178,51 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs over an embeddings table
-    * (vec_id, embedding: array<float>). LSH-bucketed by random-hyperplane
-    * sign bits (deterministic pseudo-planes), verified by exact cosine.
+    * (vec_id, embedding: array<float>): banded hyperplane LSH candidates
+    * (agree on all `rowsPerBand` sign bits of SOME band — the angular
+    * analogue of MinHash banding; P(candidate) = 1-(1-p^r)^B with
+    * p = 1-θ/π), verified by exact cosine. Same shuffle discipline as
+    * [[minHashLsh]]: ids only through the band join, embeddings re-joined
+    * for verification after pair dedup; `maxBucket` caps degenerate
+    * buckets.
+    *
+    * Defaults (8 bands × 4 bits) suit near-dup thresholds ≥ 0.9 (miss
+    * ≤ 2e-4 at cos 0.95); for lower thresholds use more, narrower bands.
     */
-  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.95, signBits: Int = 8): DataFrame = {
-    val withSig = emb.select(
-      col("vec_id").cast("long").as("vec_id"),
-      col("embedding"),
-      Similarity.hyperplaneSig(col("embedding"), signBits).as("bucket"))
-    val a = withSig.alias("a")
-    val b = withSig.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+  def embeddingNearDup(
+      emb: DataFrame,
+      threshold: Double = 0.95,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 4096): DataFrame = {
+    val base = emb.select(
+      col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val banded = base.select(
+        col("vec_id"),
+        posexplode(Similarity.hyperplaneBandKeys(col("embedding"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    val smallBuckets = banded
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bsize"))
+      .where(col("bsize") <= maxBucket)
+      .select("band", "bucket")
+    val capped = banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+
+    cand
+      .join(base.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
       .select(
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+        col("vec_a"), col("vec_b"),
+        Similarity.cosine(col("emb_a"), col("emb_b")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

@@ -52,6 +52,23 @@ object Similarity {
   private def planeWeight(p: Column, d: Column): Column =
     (xxhash64(p, d).cast("double") / lit(Long.MaxValue.toDouble))
 
+  /** OR-construction band keys over a hyperplane signature: one signature
+    * of bands×rowsPerBand sign bits, sliced into `bands` keys of
+    * `rowsPerBand` bits each. Two vectors are LSH candidates iff they agree
+    * on ALL bits of SOME band: P(candidate) = 1-(1-p^r)^B with
+    * p = 1 - θ/π per bit — the banding turns per-bit agreement into a
+    * tunable recall curve exactly like MinHash banding does for Jaccard.
+    * rowsPerBand·bands ≤ 63 (one long signature).
+    */
+  def hyperplaneBandKeys(embedding: Column, bands: Int, rowsPerBand: Int): Column = {
+    require(bands * rowsPerBand <= 63, "bands*rowsPerBand must fit a long signature")
+    val sig = hyperplaneSig(embedding, bands * rowsPerBand)
+    val mask = (1L << rowsPerBand) - 1L
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      call_function("shiftrightunsigned", sig, (b * rowsPerBand).cast("int"))
+        .bitwiseAND(lit(mask)))
+  }
+
   /** Exact top-k neighbours for each query vector: broadcast the query set,
     * score every corpus vector, keep k per query. Output:
     * (query_id, rank, vec_id, cosine).
@@ -74,24 +91,44 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
   }
 
-  /** Approximate top-k: hyperplane-LSH bucket the corpus, search only the
-    * query's bucket (multi-probe over exact-match bucket here; recall is
-    * traded for a corpus-linear candidate set). Same output shape as
-    * [[bruteForceTopK]].
+  /** Approximate top-k via banded hyperplane LSH: a corpus vector is a
+    * candidate for a query iff their signatures agree on some full band.
+    * Candidate generation is corpus-linear (bands explode ids only — the
+    * embedding never rides the band join), queries broadcast, exact cosine
+    * scores only the candidate set, window top-k per query. Same output
+    * shape as [[bruteForceTopK]].
+    *
+    * Recall tuning: per-neighbor P(candidate) = 1-(1-p^r)^B, p = 1-θ/π.
+    * The default (24 bands × 2 bits) gives ≥ 0.997 even for weak
+    * cosine-0.25 neighbours; fewer, wider bands trade recall for a smaller
+    * candidate set when neighbours are known to be high-cosine.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8): DataFrame = {
-    val bucketed = corpus.select(
-      col("vec_id").cast("long").as("vec_id"),
-      col("embedding"),
-      hyperplaneSig(col("embedding"), planes).as("bucket"))
-    val q = queries.select(
-      col("vec_id").cast("long").as("query_id"),
-      col("embedding").as("q_emb"),
-      hyperplaneSig(col("embedding"), planes).as("bucket"))
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      bands: Int = 24, rowsPerBand: Int = 2): DataFrame = {
+    val corpusIds = corpus.select(
+      col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val queryIds = queries.select(
+      col("vec_id").cast("long").as("query_id"), col("embedding").as("q_emb"))
+
+    val cBand = corpusIds.select(
+        col("vec_id"),
+        posexplode(hyperplaneBandKeys(col("embedding"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val qBand = queryIds.select(
+        col("query_id"),
+        posexplode(hyperplaneBandKeys(col("q_emb"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    val cand = cBand.join(broadcast(qBand), Seq("band", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    bucketed.join(broadcast(q), "bucket")
-      .where(col("vec_id") =!= col("query_id"))
+    cand
+      .join(corpusIds, "vec_id")
+      .join(broadcast(queryIds), "query_id")
       .select(
         col("query_id"), col("vec_id"),
         cosine(col("embedding"), col("q_emb")).as("cosine"))

@@ -614,6 +614,51 @@ object GraftTable {
     }.reduce(_ unionAll _)
   }
 
+  /** Generic-Parquet introspection (the ebenezer R9 "read any Parquet into
+    * a Record tree" analogue): schema + per-column stats for an ARBITRARY
+    * parquet path, not just graft tables. One distributed agg pass.
+    */
+  def describeAny(spark: SparkSession, path: String): DataFrame =
+    describeAny(spark.read.parquet(path))
+
+  /** Per-column (name, dtype, non-null count, nulls, min, max) of any
+    * DataFrame. min/max are rendered as strings only for engine-portable
+    * orderable types (integral, string, boolean, date) — float/decimal/
+    * timestamp formatting differs across engines, so they report null.
+    */
+  def describeAny(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val fields = df.schema.fields
+    def portable(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           BooleanType | DateType => true
+      case _ => false
+    }
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(c).as(s"__cnt_${f.name}"),
+        coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls_${f.name}")) ++
+        (if (portable(f.dataType))
+          Seq(min(c).cast("string").as(s"__min_${f.name}"),
+            max(c).cast("string").as(s"__max_${f.name}"))
+        else
+          Seq(lit(null).cast("string").as(s"__min_${f.name}"),
+            lit(null).cast("string").as(s"__max_${f.name}")))
+    }.toIndexedSeq
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = fields.map { f =>
+      (f.name, f.dataType.catalogString,
+        r.getAs[Long](s"__cnt_${f.name}"),
+        r.getAs[Long](s"__nulls_${f.name}"),
+        r.getAs[String](s"__min_${f.name}"),
+        r.getAs[String](s"__max_${f.name}"))
+    }.sortBy(_._1).toIndexedSeq
+    import spark.implicits._
+    rows.toDF("column", "dtype", "cnt", "nulls", "min_str", "max_str")
+  }
+
   /** Decode only the rows whose numeric doc_id falls in [minId, maxId]:
     * block-level pruning via the snapshot's range bounds (metadata-only —
     * the same summary-stats partition elimination Iceberg manifests give),
@@ -743,14 +788,14 @@ object GraftTable {
   private def hfs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def writeString(spark: SparkSession, path: String, content: String): Unit = {
+  private[table] def writeString(spark: SparkSession, path: String, content: String): Unit = {
     val p = new Path(path)
     val out = hfs(spark, path).create(p, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  private def readStringOpt(spark: SparkSession, path: String): Option[String] = {
+  private[table] def readStringOpt(spark: SparkSession, path: String): Option[String] = {
     val p = new Path(path)
     val fs = hfs(spark, path)
     if (!fs.exists(p)) None

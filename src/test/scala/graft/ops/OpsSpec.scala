@@ -119,13 +119,41 @@ class OpsSpec extends AnyFunSuite {
 
   test("LSH top-k returns a subset ranking consistent with brute force") {
     val queries = emb.where(col("vec_id") < 5)
-    val lsh = Similarity.lshTopK(emb, queries, k = 3, planes = 4)
+    val lsh = Similarity.lshTopK(emb, queries, k = 3, bands = 2, rowsPerBand = 2)
     // every LSH hit appears in the brute-force full ranking of that query
     val brute = Similarity.bruteForceTopK(emb, queries, k = 500)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val hits = lsh.select("query_id", "vec_id").as[(Long, Long)].collect()
     assert(hits.nonEmpty)
     hits.foreach(h => assert(brute.contains(h)))
+  }
+
+  test("banded LSH top-k at default width EQUALS brute-force top-k (sf0.001)") {
+    // the scale path must not lose neighbours on this corpus even at weak
+    // cosine (~0.27-0.39 top-5s): 24 bands × 2 bits gives per-neighbour
+    // recall ≥ 0.997 at cos 0.25 — verified exactly here and by the
+    // q_ann_lsh oracle at sf0.01
+    val queries = emb.where(col("vec_id") < 10)
+    val lsh = Similarity.lshTopK(emb, queries, k = 5)
+      .select("query_id", "rank", "vec_id").as[(Long, Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "rank", "vec_id").as[(Long, Long, Long)].collect().toSet
+    assert(lsh == brute,
+      s"missing=${(brute -- lsh).toSeq.sorted} extra=${(lsh -- brute).toSeq.sorted}")
+  }
+
+  test("banded embedding near-dup EQUALS brute-force pairs at 0.46 (sf0.001)") {
+    val lsh = Dedup.embeddingNearDup(emb, threshold = 0.46, bands = 16, rowsPerBand = 2)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val a = emb.alias("a"); val b = emb.alias("b")
+    val brute = a.crossJoin(b)
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .where(Similarity.cosine(col("a.embedding"), col("b.embedding")) >= 0.46)
+      .select(col("a.vec_id").cast("long"), col("b.vec_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "corpus should contain pairs at 0.46")
+    assert(lsh == brute,
+      s"missing=${(brute -- lsh).toSeq.sorted} extra=${(lsh -- brute).toSeq.sorted}")
   }
 
   test("quality signals + token counts are computed for every doc") {
