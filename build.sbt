@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through RAW (no sbt [info] prefix):
+// the driver parses graft.Bench's single JSON line from stdout — under the
+// default LoggedOutput strategy it arrived as "[info] {...}" and the
+// round-1 driver recorded parsed:null.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

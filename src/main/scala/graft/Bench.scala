@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
 import graft.table.{GraftTable, Tokenize}
 
 /** Driver-contract benchmark: times every SparkEntry query at the given SF,
-  * plus the headline metrics from BASELINE.json — encode throughput
-  * (tokens/sec, min of GRAFT_BENCH_RUNS timed encodes after one warmup; the
+  * plus the headline metrics from BASELINE.json — encode/decode throughput
+  * (tokens/sec, min of GRAFT_BENCH_RUNS timed runs after one warmup; the
   * sandbox host carries heavy external load) and compression ratio vs the
-  * same table stored as Spark-default Parquet. Prints ONE JSON line.
+  * same table stored as Spark-default Parquet.
+  *
+  * Output contract: ONE JSON line on raw stdout (build.sbt forks `run`
+  * with StdoutOutput so no sbt log prefix corrupts it). Query failures are
+  * RECORDED (errors array + -1 seconds), never silently timed as success.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,21 +32,27 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
+    val errors = results.filterNot(_._3).map(_._1)
 
-    // headline: encode throughput + compression on this SF's token table
+    // headline: encode/decode throughput + compression on this SF's token
+    // table, replicated so the timed job is compute-bound rather than
+    // overhead-bound (repl=50 in round 1 measured job overhead, not the
+    // engine). Compression is reported against the same table's
+    // Spark-default Parquet footprint.
     val fs = new Path("/tmp/graft-bench").getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = Tokenize.tokenTable(spark, sfDir).toDF()
 
-    // throughput is measured on a deterministically replicated table so the
-    // timed job is compute-bound rather than overhead-bound (same scheme as
-    // EncodeBench); compression is reported against the same table's
-    // Spark-default Parquet footprint
-    val repl = sys.env.getOrElse("GRAFT_BENCH_REPL", "50").toInt
+    val repl = sys.env.getOrElse("GRAFT_BENCH_REPL", "1000").toInt
     val big =
       if (repl <= 1) base
       else base
@@ -56,26 +66,36 @@ object Bench {
     val bigRef = fs.getContentSummary(new Path(bigDir)).getLength
     val input = spark.read.parquet(bigDir)
 
-    val runs = sys.env.getOrElse("GRAFT_BENCH_RUNS", "3").toInt
-    def encodeOnce(tag: String): (Double, GraftTable.EncodeResult) = {
+    val runs = sys.env.getOrElse("GRAFT_BENCH_RUNS", "2").toInt
+    def encodeOnce(tag: String): (Double, GraftTable.EncodeResult, String) = {
       val dir = s"/tmp/graft-bench/bench-table-$sfTag-$tag"
       fs.delete(new Path(dir), true)
       val t0 = System.nanoTime()
       val r = GraftTable.encode(input, dir, GraftTable.Options(targetRowsPerBlock = 8192))
-      ((System.nanoTime() - t0) / 1e9, r)
+      ((System.nanoTime() - t0) / 1e9, r, dir)
     }
     encodeOnce("warmup")
     val timed = (1 to runs).map(i => encodeOnce(s"r$i"))
     val encSec = timed.map(_._1).min
     val enc = timed.head._2
+    val tableDir = timed.head._3
 
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // decode throughput on the same table (sum(n_tok) forces full decode)
+    val decSec = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      GraftTable.decode(spark, tableDir).toDF().agg(sum("n_tok")).head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        f""""encode_sec":$encSec%.3f,"tokens":${enc.tokenCount},""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errsJson,"sf":"$sfDir",""" +
+        f""""repl":$repl,"encode_sec":$encSec%.3f,"tokens":${enc.tokenCount},""" +
         f""""tokens_per_sec":${enc.tokenCount / encSec}%.0f,""" +
+        f""""decode_sec":$decSec%.3f,"decode_tokens_per_sec":${enc.tokenCount / decSec}%.0f,""" +
         s""""encoded_bytes":${enc.bytesTotal},"ref_parquet_bytes":$bigRef,""" +
         f""""compression_vs_parquet":${enc.bytesTotal.toDouble / bigRef}%.4f,""" +
         f""""compression_vs_plain":${enc.compressionVsPlain}%.4f}""")

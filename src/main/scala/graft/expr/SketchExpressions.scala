@@ -76,6 +76,70 @@ object SketchRuntime {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** splitmix64 — the avalanche core used for plane weights. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+    z ^= z >>> 27; z *= 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Hyperplane weight matrices, cached per (planes, dim) per executor JVM:
+    * w(p,d) = hash(p,d) scaled to [-1,1). Deterministic — identical planes
+    * on every executor of every run — and built ONCE, so the per-row work
+    * is pure FMA instead of per-element hashing (the HOF formulation hashed
+    * (p,d) for every row and evaluated interpreted; measured ~30 s for a
+    * 5k-vector corpus vs sub-second here).
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]
+
+  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val key = nPlanes.toLong << 32 | dim.toLong
+    var w = planeCache.get(key)
+    if (w == null) {
+      w = Array.tabulate(nPlanes, dim)((p, d) =>
+        mix(mix(p.toLong) ^ (d.toLong + 1L)).toDouble / Long.MaxValue.toDouble)
+      planeCache.putIfAbsent(key, w)
+      w = planeCache.get(key)
+    }
+    w
+  }
+
+  /** Sign signature of `v` against `nPlanes` deterministic pseudo-random
+    * hyperplanes: bit p = sign(Σ_d v[d]·w(p,d)).
+    */
+  def hyperplaneSig(v: ArrayData, nPlanes: Int): Long = {
+    val dim = v.numElements()
+    val w = planes(nPlanes, dim)
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val wp = w(p)
+      var dot = 0.0
+      var i = 0
+      while (i < dim) { dot += v.getFloat(i).toDouble * wp(i); i += 1 }
+      if (dot >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  /** Banded hyperplane keys: ONE signature of bands×rowsPerBand bits,
+    * sliced into `bands` keys of `rowsPerBand` bits (OR-construction).
+    */
+  def hyperplaneBands(v: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val sig = hyperplaneSig(v, bands * rowsPerBand)
+    val mask = (1L << rowsPerBand) - 1L
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      out(b) = (sig >>> (b * rowsPerBand)) & mask
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** 64-bit SimHash over the element multiset: bit b of the result is 1 iff
     * the sum over elements of sign(bit b of hash(elem)) is positive. Near-
     * identical documents differ in few bits (small Hamming distance).
@@ -150,6 +214,62 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
     defineCodeGen(ctx, ev, c => s"graft.expr.SketchRuntime.minHash($c, $numHashes)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `graft_hyperplane_sig(array<float>, planes)` -> bigint sign signature.
+  * Native + codegen'd with a per-JVM cached weight matrix — the angular-LSH
+  * hot path (every corpus vector, every encode of the ANN index).
+  */
+case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression {
+  require(planes > 0 && planes <= 63, s"planes out of range: $planes")
+
+  private def floatArray(e: Expression): TypeCheckResult = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${other.catalogString}")
+  }
+  override def checkInputDataTypes(): TypeCheckResult = floatArray(child)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchRuntime.hyperplaneSig(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.SketchRuntime.hyperplaneSig($c, $planes)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+/** `graft_hyperplane_bands(array<float>, bands, rowsPerBand)` ->
+  * array<bigint> of banded LSH keys, one signature computation per row
+  * (a HOF formulation re-evaluates the signature subtree once PER BAND —
+  * measured 24× the work, interpreted on top).
+  */
+case class HyperplaneBands(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(bands > 0 && rowsPerBand > 0 && bands * rowsPerBand <= 63,
+    s"bands*rowsPerBand must be in (0, 63]: $bands x $rowsPerBand")
+
+  private def floatArray(e: Expression): TypeCheckResult = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${other.catalogString}")
+  }
+  override def checkInputDataTypes(): TypeCheckResult = floatArray(child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchRuntime.hyperplaneBands(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.SketchRuntime.hyperplaneBands($c, $bands, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
     copy(child = newChild)
 }
 

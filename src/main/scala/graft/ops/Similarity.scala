@@ -30,27 +30,13 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane sign signature: bit p of the
     * result is the sign of Σ_d w(p,d)·v[d], with w(p,d) a fixed hash-derived
     * weight in [-1, 1). Used as an LSH bucket id for angular similarity.
+    * Native codegen'd expression with a per-JVM cached weight matrix — the
+    * HOF (transform/zip_with/aggregate) formulation hashed (plane, dim) per
+    * row per element, interpreted.
     */
-  def hyperplaneSig(embedding: Column, planes: Int): Column = {
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val dot = aggregate(
-        zip_with(
-          embedding,
-          transform(sequence(lit(1), size(embedding)),
-            d => planeWeight(p, d)),
-          (v, w) => v.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(
-      zip_with(bits, sequence(lit(0), lit(planes - 1)),
-        (bit, p) => call_function("shiftleft", bit, p.cast("int"))),
-      lit(0L), (acc, x) => acc + x)
-  }
-
-  /** Hash-derived plane weight in [-1, 1): xxhash64(plane, dim) scaled. */
-  private def planeWeight(p: Column, d: Column): Column =
-    (xxhash64(p, d).cast("double") / lit(Long.MaxValue.toDouble))
+  def hyperplaneSig(embedding: Column, planes: Int): Column =
+    org.apache.spark.sql.GraftSql.column(graft.expr.HyperplaneSig(
+      org.apache.spark.sql.GraftSql.expression(embedding), planes))
 
   /** OR-construction band keys over a hyperplane signature: one signature
     * of bands×rowsPerBand sign bits, sliced into `bands` keys of
@@ -58,16 +44,11 @@ object Similarity {
     * on ALL bits of SOME band: P(candidate) = 1-(1-p^r)^B with
     * p = 1 - θ/π per bit — the banding turns per-bit agreement into a
     * tunable recall curve exactly like MinHash banding does for Jaccard.
-    * rowsPerBand·bands ≤ 63 (one long signature).
+    * rowsPerBand·bands ≤ 63 (one long signature, computed ONCE per row).
     */
-  def hyperplaneBandKeys(embedding: Column, bands: Int, rowsPerBand: Int): Column = {
-    require(bands * rowsPerBand <= 63, "bands*rowsPerBand must fit a long signature")
-    val sig = hyperplaneSig(embedding, bands * rowsPerBand)
-    val mask = (1L << rowsPerBand) - 1L
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      call_function("shiftrightunsigned", sig, (b * rowsPerBand).cast("int"))
-        .bitwiseAND(lit(mask)))
-  }
+  def hyperplaneBandKeys(embedding: Column, bands: Int, rowsPerBand: Int): Column =
+    org.apache.spark.sql.GraftSql.column(graft.expr.HyperplaneBands(
+      org.apache.spark.sql.GraftSql.expression(embedding), bands, rowsPerBand))
 
   /** Exact top-k neighbours for each query vector: broadcast the query set,
     * score every corpus vector, keep k per query. Output:
