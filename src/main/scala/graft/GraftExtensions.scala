@@ -54,5 +54,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
       expr.MinHashSig(exprs.head, n)
     }
+    def intLit(e: Expression, fn: String): Int = e.eval(null) match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected an int literal, got $other")
+    }
+    inject("graft_hyperplane_sig",
+      "graft_hyperplane_sig(vec, planes) - angular-LSH sign signature")(
+      exprs => expr.HyperplaneSig(exprs.head,
+        intLit(exprs(1), "graft_hyperplane_sig")))
+    inject("graft_hyperplane_bands",
+      "graft_hyperplane_bands(vec, bands, rows) - banded angular-LSH keys")(
+      exprs => expr.HyperplaneBands(exprs.head,
+        intLit(exprs(1), "graft_hyperplane_bands"),
+        intLit(exprs(2), "graft_hyperplane_bands")))
   }
 }

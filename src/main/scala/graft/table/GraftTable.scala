@@ -564,16 +564,19 @@ object GraftTable {
   def compact(spark: SparkSession, tableDir: String, opts: Options = Options()): EncodeResult =
     encode(decode(spark, tableDir).toDF(), tableDir, opts)
 
-  /** Delete data/manifest dirs not referenced by the CURRENT snapshot
-    * (crash orphans, pre-compaction versions). Metadata JSONs are kept —
-    * they are the lineage audit trail. Returns the deleted paths.
+  /** Delete data/manifest/bounds dirs not referenced by the CURRENT
+    * snapshot (crash orphans, pre-compaction versions). Metadata JSONs are
+    * kept — they are the lineage audit trail (their data/bounds references
+    * dangle after GC, as in Iceberg after expire_snapshots). Bounds files
+    * are data-sized (8 B per block boundary — ~120 MB at 15M blocks), so
+    * stale ones are reclaimed, not archived. Returns the deleted paths.
     */
   def expireSnapshots(spark: SparkSession, tableDir: String): Seq[String] = {
     val snap = currentSnapshot(spark, tableDir).getOrElse(return Nil)
-    val live = (snap.dataDirs ++ snap.manifestDirs).toSet
+    val live = (snap.dataDirs ++ snap.manifestDirs).toSet ++ snap.boundsDir.toSet
     val fs = hfs(spark, tableDir)
     val deleted = Seq.newBuilder[String]
-    Seq("data", "manifests").foreach { kind =>
+    Seq("data", "manifests", "metadata/bounds").foreach { kind =>
       val root = new Path(s"$tableDir/$kind")
       if (fs.exists(root)) {
         fs.listStatus(root).foreach { st =>

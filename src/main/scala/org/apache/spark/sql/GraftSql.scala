@@ -55,5 +55,18 @@ object GraftSql {
       }
       graft.expr.MinHashSig(exprs.head, n)
     }, "built-in")
+
+    def intLit(e: Expression, fn: String): Int = e.eval(null) match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected an int literal, got $other")
+    }
+    reg.createOrReplaceTempFunction("graft_hyperplane_sig", exprs =>
+      graft.expr.HyperplaneSig(exprs.head,
+        intLit(exprs(1), "graft_hyperplane_sig(vec, planes)")), "built-in")
+    reg.createOrReplaceTempFunction("graft_hyperplane_bands", exprs =>
+      graft.expr.HyperplaneBands(exprs.head,
+        intLit(exprs(1), "graft_hyperplane_bands(vec, bands, rows)"),
+        intLit(exprs(2), "graft_hyperplane_bands(vec, bands, rows)")), "built-in")
   }
 }

@@ -99,10 +99,22 @@ class Expr2Spec extends AnyFunSuite {
     val row = spark.sql(
       """SELECT size(graft_minhash(words, 16)) AS mh,
         |       graft_simhash(words) AS sh,
-        |       graft_cosine(va, vb) AS cos
+        |       graft_cosine(va, vb) AS cos,
+        |       graft_hyperplane_sig(va, 12) AS hs,
+        |       size(graft_hyperplane_bands(va, 8, 4)) AS hb
         |FROM sk""".stripMargin).head()
     assert(row.getInt(0) == 16)
     assert(row.getDouble(2) == 0.0)
+    assert(row.getLong(3) >= 0L && row.getLong(3) < (1L << 12))
+    assert(row.getInt(4) == 8)
+    // band keys are exactly the signature slices (one sig computation)
+    val chk = spark.sql(
+      """SELECT graft_hyperplane_sig(va, 32) AS sig,
+        |       graft_hyperplane_bands(va, 8, 4) AS bands
+        |FROM sk""".stripMargin).head()
+    val sig = chk.getLong(0)
+    val bands = chk.getSeq[Long](1)
+    (0 until 8).foreach(b => assert(bands(b) == ((sig >>> (b * 4)) & 0xFL)))
   }
 
   test("graft_cosine matches the HOF formulation bit for bit") {

@@ -58,6 +58,18 @@ class StreamingSpec extends AnyFunSuite {
 
     val reclaimed = GraftTable.expireSnapshots(spark, dir)
     assert(reclaimed.size >= 8, reclaimed) // 5 old data + manifest dirs minus live
+    // stale bounds files are reclaimed; the live snapshot's bounds survive
+    val liveBounds = after.boundsDir
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    liveBounds.foreach { b =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$b")), s"live bounds $b deleted")
+    }
+    val boundsRoot = new org.apache.hadoop.fs.Path(s"$dir/metadata/bounds")
+    if (fs.exists(boundsRoot)) {
+      val kept = fs.listStatus(boundsRoot).map(s => s"metadata/bounds/${s.getPath.getName}").toSet
+      assert(kept == liveBounds.toSet, s"stale bounds kept: $kept vs $liveBounds")
+    }
 
     // post-GC the table still decodes bit-identically
     val decoded = GraftTable.decode(spark, dir)
