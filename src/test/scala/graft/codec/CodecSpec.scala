@@ -100,6 +100,31 @@ class CodecSpec extends AnyFunSuite with SeededGens {
     }
   }
 
+  test("sampled trials on big blocks: right winner, bit-identical, invariant holds") {
+    // above TrialSampleMinN the constructive candidates (dict/fsst) are
+    // sized on a deterministic sample (BtrBlocks-style) — the winner must
+    // still round-trip and never be worse than the best exact candidate
+    val n = IntBlocks.TrialSampleMinN + 50000
+    // phrase-repetitive block: FSST/dict territory (8-gram phrases over a
+    // tiny alphabet, repeated block-wide — the replicated-corpus shape)
+    val phrase = Array(3, 1, 4, 1, 5, 9, 2, 6)
+    val rep = Array.tabulate(n)(i => phrase(i % phrase.length))
+    val (encR, chR) = IntBlocks.encodeAutoChoice(rep)
+    assert(IntBlocks.decode(encR).sameElements(rep))
+    assert(chR.candidateSizes.values.forall(chR.bytes <= _),
+      s"${chR.name} ${chR.bytes} vs ${chR.candidateSizes}")
+    assert(chR.name == "fsst" || chR.name == "rle" || chR.name == "dict", chR.name)
+
+    // uniform-random wide block: bitpack territory; dict/fsst estimates
+    // must lose without being materialized (this is the fast path)
+    val rnd = new java.util.Random(7)
+    val wide = Array.fill(n)(rnd.nextInt(1 << 20))
+    val (encW, chW) = IntBlocks.encodeAutoChoice(wide)
+    assert(IntBlocks.decode(encW).sameElements(wide))
+    assert(chW.name == "bitpack" || chW.name == "for" || chW.name == "pfor", chW.name)
+    assert(chW.candidateSizes.values.forall(chW.bytes <= _))
+  }
+
   test("PFOR wins on outlier-polluted columns and patches exactly") {
     val rnd = new scala.util.Random(7)
     val a = Array.fill(2000)(rnd.nextInt(16))
