@@ -25,15 +25,23 @@ object SparkEntry {
 
   /** Encode the sfDir token table into a deterministic scratch location
     * (idempotent: a complete table resumes as a no-op) and return its dir.
-    * Path carries a format tag so stale tables from older code never leak in.
+    * Path carries a format tag so stale tables from older code never leak
+    * in. Cached per (application, sfDir): the input is a pure function of
+    * the path, so after the first encode this session the later queries
+    * can skip even the resume/confirm scans — application-layer knowledge
+    * the engine itself must not assume.
     */
-  private def encodedTableDir(spark: SparkSession, sfDir: String): String = {
-    val dir = "/tmp/graft-tables/f4-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    GraftTable.encode(
-      Tokenize.tokenTable(spark, sfDir).toDF(), dir,
-      GraftTable.Options(targetRowsPerBlock = 128))
-    dir
-  }
+  private val tableDirCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def encodedTableDir(spark: SparkSession, sfDir: String): String =
+    tableDirCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir), {
+      val dir = "/tmp/graft-tables/f4-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      GraftTable.encode(
+        Tokenize.tokenTable(spark, sfDir).toDF(), dir,
+        GraftTable.Options(targetRowsPerBlock = 128))
+      dir
+    })
 
   private val codecNames =
     Seq("plain", "bitpack", "for", "delta_for", "rle", "dict", "fsst", "pfor")

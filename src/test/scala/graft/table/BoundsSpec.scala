@@ -88,6 +88,16 @@ class BoundsSpec extends AnyFunSuite {
     assert(agg.getLong(0) == n.toLong && agg.getLong(1) == 2L * n)
   }
 
+  test("rank plan contains no Window node (single-task sort regression guard)") {
+    val df = (0 until 1000).map(_.toLong).toDF("k")
+    val (ranked, _, release) = Ranks.withRank(df, col("k"), "rn", 8)
+    try {
+      val plan = ranked.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"WindowExec found in rank plan:\n$plan")
+      ranked.count()
+    } finally release()
+  }
+
   test("single-block table has no bounds file and resumes as a no-op") {
     val rows = (0 until 50).map(i =>
       TokenRow(i.toString, Array(1, 2, 3), 3, "s")).toDF()
