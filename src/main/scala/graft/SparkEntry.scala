@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{graft_decode, graft_encode}
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Ivf, Similarity, TextAnalysis}
 import graft.table.{GraftTable, Tokenize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -224,6 +224,19 @@ object SparkEntry {
         threshold = 0.46, bands = 16, rowsPerBand = 2)
         .select(col("vec_a"), col("vec_b"))
         .orderBy("vec_a", "vec_b")
+    }),
+
+    // IVF plumbing exactness: probing every list must reproduce exact
+    // brute-force top-k bit for bit (index build → assignment → probe join
+    // → ranking all lossless); approximate-recall behaviour is covered by
+    // OpsSpec (this corpus is near-isotropic noise, so partial-probe recall
+    // is structurally weak on it — see the spec comment)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val idx = Ivf.build(emb, numCentroids = 22)
+      Ivf.topK(idx, emb.where(col("vec_id") < 10), k = 5, nprobe = 22)
+        .select(col("query_id"), col("rank"), col("vec_id"))
+        .orderBy("query_id", "rank")
     }),
 
     // text quality signals (ratios as ppm integers: engine-exact compare)
@@ -510,6 +523,20 @@ object SparkEntry {
 
     // the LSH top-k must equal exact brute force (recall proof)
     "q_ann_lsh" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank,
+        |       CAST(vec_id AS BIGINT) AS vec_id
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // IVF at nprobe = numCentroids is exhaustive → equals brute force
+    "q_ann_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
         |scored AS (
         |  SELECT q.query_id, e.vec_id,
