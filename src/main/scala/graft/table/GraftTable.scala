@@ -204,7 +204,7 @@ object GraftTable {
     // typed-Dataset form of the same plan.
     import spark.implicits._
     val parallelism = spark.sparkContext.defaultParallelism
-    val encodeParts = math.max(1, math.min(numBlocks, parallelism * 2))
+    val encodeParts = encodePartitions(numBlocks, parallelism, stats.tokensTotal)
     // tokens are FOR-packed on the MAP side: they dominate the one data
     // shuffle, and ~5-bit ids packed cut the SERIALIZED row ~5× vs 4 B/int
     // UnsafeRow arrays. Locally lz4 shuffle compression already absorbs
@@ -354,6 +354,27 @@ object GraftTable {
         .where(col("rn") =!= 1 && col("rn") =!= cnt) // interior cuts only
         .select("k").collect().map(_.getLong(0)).distinct.sorted
     } finally release()
+  }
+
+  /** Spill-aware partition count for the encode exchange. Three regimes:
+    *   - small tables: one partition per block is enough (never exceed
+    *     numBlocks — empty reducers are pure overhead);
+    *   - CPU-bound middle: 2× parallelism keeps every core fed through
+    *     stragglers (the sandbox regime);
+    *   - data-bound top end: cap each sort task at ~512 MB of plain token
+    *     bytes. Without this, 10^12 rows over 2×parallelism tasks puts
+    *     multi-GB in every Tungsten sort — correct (external sort spills)
+    *     but thrashing; ~512 MB tasks sort mostly in memory.
+    * The count is explicit (AQE coalescing would serialize this CPU-bound
+    * stage) and deterministic given (blocks, cluster, stats).
+    */
+  private[table] def encodePartitions(
+      numBlocks: Int, parallelism: Int, tokensTotal: Long): Int = {
+    val targetTaskBytes = 512L << 20
+    val approxPlainBytes = tokensTotal * 5L // 4 B/token + id/len/source overhead
+    val byData = (approxPlainBytes + targetTaskBytes - 1) / targetTaskBytes
+    val byCpu = parallelism * 2L
+    math.max(1L, math.min(numBlocks.toLong, math.max(byCpu, byData))).toInt
   }
 
   /** Full-row value hash, type-pinned so the input and decoded sides hash
@@ -517,7 +538,7 @@ object GraftTable {
 
     import spark.implicits._
     val parallelism = spark.sparkContext.defaultParallelism
-    val encodeParts = math.max(1, math.min(numNew, parallelism * 2))
+    val encodeParts = encodePartitions(numNew, parallelism, stats.tokensTotal)
     val blocks = keyed
       .select(
         (graft_range_bucket(col("_graft_key"), bcBounds) + blockOffset).as("block_id"),

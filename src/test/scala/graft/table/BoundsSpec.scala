@@ -98,6 +98,21 @@ class BoundsSpec extends AnyFunSuite {
     } finally release()
   }
 
+  test("encode partition count: per-block floor, CPU middle, 512MB-task ceiling") {
+    // small table: never more partitions than blocks
+    assert(GraftTable.encodePartitions(3, 32, 1000L) == 3)
+    // CPU-bound middle: 2x parallelism (the sandbox regime)
+    assert(GraftTable.encodePartitions(611, 8, 270704000L) == 16)
+    // data-bound top end: 10^12 tokens on a 1000-core cluster — 2x
+    // parallelism would put ~2.5 GB in each sort task; the byte ceiling
+    // must win (≈9313 tasks at ~512 MB each)
+    val big = GraftTable.encodePartitions(15000000, 1000, 1000000000000L)
+    assert(big > 1000 * 2, s"data-bound regime ignored: $big")
+    assert(big <= 15000000)
+    val perTaskBytes = 1000000000000L * 5L / big
+    assert(perTaskBytes <= (512L << 20), s"task holds $perTaskBytes B")
+  }
+
   test("single-block table has no bounds file and resumes as a no-op") {
     val rows = (0 until 50).map(i =>
       TokenRow(i.toString, Array(1, 2, 3), 3, "s")).toDF()
