@@ -39,10 +39,24 @@ object Ivf {
     org.apache.spark.sql.GraftSql.column(graft.expr.IvfProbes(
       org.apache.spark.sql.GraftSql.expression(emb), bc, nprobe))
 
-  /** Deterministic coarse quantizer: k corpus vectors by hash order of
-    * vec_id, L2-normalized (centroid ranking by cosine ≡ by dot product).
+  private def normalized(e: Array[Float]): Array[Float] = {
+    var ss = 0.0
+    var i = 0
+    while (i < e.length) { ss += e(i).toDouble * e(i); i += 1 }
+    val norm = math.sqrt(ss)
+    if (norm == 0.0) e else e.map(x => (x / norm).toFloat)
+  }
+
+  /** Deterministic coarse quantizer: init = k corpus vectors by hash order
+    * of vec_id (value-determined, layout-independent), optionally refined
+    * by `lloydIters` k-means steps. Lloyd sums are integer-scaled
+    * (float·2^24 as long) so the partial-aggregation ADD ORDER cannot
+    * perturb the centroids — double sums would make the index
+    * layout-dependent. Centroids are L2-normalized (ranking by cosine ≡ by
+    * dot product). Empty clusters keep their previous centroid.
     */
-  def trainCentroids(corpus: DataFrame, k: Int): Broadcast[Array[Array[Float]]] = {
+  def trainCentroids(
+      corpus: DataFrame, k: Int, lloydIters: Int = 0): Broadcast[Array[Array[Float]]] = {
     val spark = corpus.sparkSession
     val picked = corpus
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
@@ -50,22 +64,42 @@ object Ivf {
       .limit(k)
       .select("embedding")
       .collect()
-    val cents = picked.map { r =>
-      val e = r.getSeq[Float](0).toArray
-      var ss = 0.0
-      var i = 0
-      while (i < e.length) { ss += e(i).toDouble * e(i); i += 1 }
-      val norm = math.sqrt(ss)
-      if (norm == 0.0) e else e.map(x => (x / norm).toFloat)
+    var cents = picked.map(r => normalized(r.getSeq[Float](0).toArray))
+    val scale = (1L << 24).toDouble
+
+    var iter = 0
+    while (iter < lloydIters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      // one map-only assignment scan, then a tiny (k·dim)-row aggregate
+      val stats = corpus
+        .select(assignCol(col("embedding"), bc).as("cid"),
+          posexplode(col("embedding")))
+        .groupBy("cid", "pos")
+        .agg(
+          sum((col("col").cast("double") * scale).cast("long")).as("s"),
+          count(lit(1)).as("c"))
+        .collect()
+      val next = cents.map(_.clone())
+      stats.groupBy(_.getInt(0)).foreach { case (cid, rows) =>
+        val dim = rows.length
+        val mean = new Array[Float](dim)
+        rows.foreach { r =>
+          mean(r.getInt(1)) = (r.getLong(2).toDouble / scale / r.getLong(3)).toFloat
+        }
+        next(cid) = normalized(mean)
+      }
+      cents = next
+      bc.unpersist(false)
+      iter += 1
     }
     spark.sparkContext.broadcast(cents)
   }
 
-  /** Build the index: train the quantizer, assign every corpus vector to
-    * its list in one map-only scan.
+  /** Build the index: train the quantizer (optionally Lloyd-refined),
+    * assign every corpus vector to its list in one map-only scan.
     */
-  def build(corpus: DataFrame, numCentroids: Int): Index = {
-    val bc = trainCentroids(corpus, numCentroids)
+  def build(corpus: DataFrame, numCentroids: Int, lloydIters: Int = 0): Index = {
+    val bc = trainCentroids(corpus, numCentroids, lloydIters)
     val assigned = corpus.select(
       assignCol(col("embedding"), bc).as("cid"),
       col("vec_id").cast("long").as("vec_id"),

@@ -188,6 +188,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF Lloyd refinement: deterministic centroids, exactness preserved") {
+    val queries = emb.where(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "rank", "vec_id").as[(Long, Long, Long)].collect().toSet
+    // two independent trainings produce IDENTICAL centroids (integer-
+    // scaled Lloyd sums: partition add-order cannot perturb them)
+    val c1 = Ivf.trainCentroids(emb, 22, lloydIters = 2).value
+    val c2 = Ivf.trainCentroids(emb.repartition(7), 22, lloydIters = 2).value
+    assert(c1.length == 22 && c2.length == 22)
+    (0 until 22).foreach(i => assert(c1(i).sameElements(c2(i)), s"centroid $i differs"))
+    // refined index still exhaustive-exact at nprobe=k
+    val idx = Ivf.build(emb, numCentroids = 22, lloydIters = 2)
+    val all = Ivf.topK(idx, queries, 5, nprobe = 22)
+      .select("query_id", "rank", "vec_id").as[(Long, Long, Long)].collect().toSet
+    assert(all == brute)
+  }
+
   test("quality signals + token counts are computed for every doc") {
     val q = TextAnalysis.quality(docs)
     assert(q.count() == 500)
