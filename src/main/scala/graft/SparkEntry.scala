@@ -320,6 +320,18 @@ object SparkEntry {
         .orderBy(col("doc_id").cast("long"))
     }),
 
+    // column-pruned decode: tokens reconstructed WITHOUT reading the
+    // string payloads (PlanSpec asserts the pruned ReadSchema); totals
+    // must equal the raw documents
+    "q_decode_tokens" -> ((s, dir) => {
+      val tdir = encodedTableDir(s, dir)
+      GraftTable.decodeSelect(s, tdir, Seq("tokens"))
+        .agg(
+          count(lit(1)).cast("long").as("docs"),
+          sum(size(col("tokens")).cast("long")).as("tokens"),
+          sum(Tokenize.checksumCol(col("tokens"))).as("checksum_sum"))
+    }),
+
     // R7/R8: catalog registration + spark.sql over the DECODED view — the
     // Hive-delegation analogue; oracle recomputes from raw documents
     "q_sql_view" -> ((s, dir) => {
@@ -674,6 +686,24 @@ object SparkEntry {
         |FROM pairs p JOIN vocab v ON v.word = p.word
         |GROUP BY p.doc_id
         |ORDER BY CAST(p.doc_id AS BIGINT)""".stripMargin,
+
+    "q_decode_tokens" ->
+      """WITH vocab AS (
+        |  SELECT word, row_number() OVER (ORDER BY word) - 1 AS tid
+        |  FROM (SELECT DISTINCT unnest(string_split(text,' ')) AS word FROM documents)
+        |), pairs AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS word,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents
+        |), per_doc AS (
+        |  SELECT p.doc_id, count(*) AS n_tok, sum(v.tid * p.pos) AS checksum
+        |  FROM pairs p JOIN vocab v ON v.word = p.word
+        |  GROUP BY p.doc_id
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |       CAST(sum(checksum) AS BIGINT) AS checksum_sum
+        |FROM per_doc""".stripMargin,
 
     "q_sql_view" ->
       """WITH per_doc AS (

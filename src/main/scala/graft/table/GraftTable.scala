@@ -473,6 +473,37 @@ object GraftTable {
       .as[TokenRow]
   }
 
+  /** Column-pruned decode: reconstruct only `columns` (any subset of
+    * doc_id / tokens / n_tok / source, emitted in canonical order). The
+    * scan reads ONLY the payload columns those need — a tokens-only
+    * training feed skips the string payloads entirely, which at 100 TB is
+    * roughly half the read volume (PlanSpec asserts the pruned ReadSchema).
+    */
+  def decodeSelect(
+      spark: SparkSession, tableDir: String, columns: Seq[String]): DataFrame = {
+    val valid = Seq("doc_id", "tokens", "n_tok", "source")
+    require(columns.nonEmpty && columns.forall(valid.contains),
+      s"decodeSelect columns must be among ${valid.mkString(", ")}")
+    val want = valid.filter(columns.contains)
+    val arrays = Seq.newBuilder[org.apache.spark.sql.Column]
+    if (want.contains("doc_id"))
+      arrays += graft_decode_str(col("pl_doc_id")).as("doc_id")
+    if (want.contains("tokens"))
+      arrays += graft_reslice(graft_decode(col("pl_tokens")), graft_decode(col("pl_n_tok")))
+        .as("tokens")
+    if (want.contains("n_tok") && !want.contains("tokens"))
+      arrays += graft_decode(col("pl_n_tok")).as("n_tok")
+    if (want.contains("source"))
+      arrays += graft_decode_str(col("pl_source")).as("source")
+    val exploded = readBlocks(spark, tableDir)
+      .select(explode(arrays_zip(arrays.result(): _*)).as("r"))
+    val out = want.map {
+      case "n_tok" if want.contains("tokens") => size(col("r.tokens")).as("n_tok")
+      case c => col(s"r.$c").as(c)
+    }
+    exploded.select(out: _*)
+  }
+
   /** Manifest rows derived from WRITTEN block files (codec names, dict
     * hashes, sizes, content signature) — a column-pruned scan, never a
     * re-run of the encode lineage.

@@ -35,6 +35,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeSelect(tokens) reads only the token payloads") {
+    val df = GraftTable.decodeSelect(spark, tableDir, Seq("tokens", "n_tok"))
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("pl_tokens") && readSchema.contains("pl_n_tok"), plan)
+    Seq("pl_doc_id", "pl_source").foreach { c =>
+      assert(!readSchema.contains(c), s"$c not pruned: $readSchema")
+    }
+    // values equal the full decode's projection
+    val full = GraftTable.decode(spark, tableDir).toDF()
+      .agg(sum(Tokenize.checksumCol(col("tokens"))), sum(col("n_tok").cast("long"))).head()
+    val slim = df
+      .agg(sum(Tokenize.checksumCol(col("tokens"))), sum(col("n_tok").cast("long"))).head()
+    assert(full == slim)
+    // n_tok-only variant skips even pl_tokens
+    val nOnly = GraftTable.decodeSelect(spark, tableDir, Seq("n_tok"))
+    val rs2 = "ReadSchema: [^\\n]*".r
+      .findFirstIn(nOnly.queryExecution.executedPlan.toString).getOrElse("")
+    assert(rs2.contains("pl_n_tok") && !rs2.contains("pl_tokens"), rs2)
+    assert(nOnly.agg(sum(col("n_tok").cast("long"))).head() ==
+      GraftTable.decode(spark, tableDir).toDF().agg(sum(col("n_tok").cast("long"))).head())
+  }
+
   test("block-range predicates push down to the Parquet scan") {
     val df = GraftTable.readBlocks(spark, tableDir)
       .where(col("block_id") >= 2 && col("block_id") <= 3)
