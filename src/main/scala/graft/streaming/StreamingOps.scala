@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over the token/document stream — the Structured
+  * Streaming surface beyond ingest: event-time windowed aggregation under a
+  * watermark, and custom keyed state via `flatMapGroupsWithState`.
+  *
+  * Scale notes: both operators keep per-key state bounded — the windowed
+  * agg drops state once the watermark passes a window, and the stateful
+  * dedup keys state by content digest (32 B) with a processing-time
+  * timeout, so state size tracks the UNIQUE corpus, never the stream
+  * length × payload.
+  */
+object StreamingOps {
+
+  /** Event-time token-rate table: tokens and docs per (window, source),
+    * late data beyond `watermark` dropped, emitted append-mode once the
+    * watermark closes a window. Input needs (event_time: timestamp,
+    * source: string, n_tok: int).
+    */
+  def windowedTokenCounts(
+      stream: DataFrame,
+      windowDuration: String = "10 seconds",
+      watermark: String = "30 seconds"): DataFrame =
+    stream
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDuration), col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tok").cast("long")).as("tokens"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("source"), col("docs"), col("tokens"))
+
+  final case class SeenDoc(digest: String, doc_id: String, text: String)
+  final case class DedupState(firstDocId: String, dups: Long)
+
+  /** Streaming exact dedup: the FIRST document with a given content digest
+    * passes through; replicas in the same or any later micro-batch are
+    * dropped. State per digest is (first doc id, dup count) — the
+    * streaming analogue of [[graft.ops.Dedup.exact]], keyed the same way
+    * (sha256 of the text). State is retained for the life of the query
+    * (correct-by-definition for exact dedup: any digest may recur); bound
+    * it operationally by restarting from a fresh checkpoint per corpus
+    * epoch, or switch to a timeout if at-most-epoch dedup suffices.
+    */
+  def dedupStream(docs: DataFrame): Dataset[SeenDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        sha2(col("text"), 256).as("digest"),
+        col("doc_id").cast("string").as("doc_id"),
+        col("text"))
+      .as[SeenDoc]
+      .groupByKey(_.digest)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (digest: String, rows: Iterator[SeenDoc], state: GroupState[DedupState]) =>
+          val batch = rows.toSeq.sortBy(r => (r.doc_id.length, r.doc_id))
+          if (state.exists) {
+            state.update(state.get.copy(dups = state.get.dups + batch.size))
+            Iterator.empty
+          } else if (batch.nonEmpty) {
+            state.update(DedupState(batch.head.doc_id, (batch.size - 1).toLong))
+            Iterator.single(batch.head)
+          } else Iterator.empty
+      }
+  }
+}

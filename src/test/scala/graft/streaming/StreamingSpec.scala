@@ -105,6 +105,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(GraftTable.decode(spark, dir).count() == 200)
   }
 
+  test("watermarked windowed token counts close windows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Int)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val windowed = StreamingOps.windowedTokenCounts(
+      mem.toDF().toDF("event_time", "source", "n_tok"),
+      windowDuration = "10 seconds", watermark = "5 seconds")
+    val q = windowed.writeStream.format("memory")
+      .queryName("win_counts").outputMode("append").start()
+    try {
+      // window [0,10): two docs; then an event at t=42 pushes the
+      // watermark to 37 — far past the first window, which must emit
+      mem.addData((ts(1), "a", 10), (ts(3), "a", 20), (ts(12), "b", 5))
+      q.processAllAvailable()
+      mem.addData((ts(42), "b", 1))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT source, docs, tokens FROM win_counts WHERE window_start = timestamp'1970-01-01 00:00:00'")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq(("a", 2L, 30L)))
+      // a LATE event for the closed window is dropped by the watermark
+      mem.addData((ts(2), "a", 99), (ts(60), "b", 1))
+      q.processAllAvailable()
+      val after = spark.sql(
+        "SELECT sum(tokens) FROM win_counts WHERE window_start = timestamp'1970-01-01 00:00:00'")
+        .head().getLong(0)
+      assert(after == 30L, s"late data leaked into a closed window: $after")
+    } finally q.stop()
+  }
+
+  test("stateful streaming dedup: first doc passes, replicas across batches drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val out = StreamingOps.dedupStream(mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode("append").start()
+    try {
+      mem.addData(("1", "alpha beta"), ("2", "alpha beta"), ("3", "gamma"))
+      q.processAllAvailable()
+      // replicas of batch-1 texts arriving in batch 2 must NOT re-emit
+      mem.addData(("4", "alpha beta"), ("5", "gamma"), ("6", "delta"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM dedup_stream")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(kept == Seq("1", "3", "6"), s"kept=$kept")
+    } finally q.stop()
+  }
+
   test("streaming ingest: micro-batches append and round-trip") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-stream").toString
