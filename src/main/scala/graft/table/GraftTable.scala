@@ -206,13 +206,12 @@ object GraftTable {
     val parallelism = spark.sparkContext.defaultParallelism
     val encodeParts = encodePartitions(numBlocks, parallelism, stats.tokensTotal)
     // tokens are FOR-packed on the MAP side: they dominate the one data
-    // shuffle, and ~5-bit ids packed cut the SERIALIZED row ~5× vs 4 B/int
-    // UnsafeRow arrays. Locally lz4 shuffle compression already absorbs
-    // most of that (measured: shuffle+sort 3.7 s → 3.2 s at local[8]);
-    // on a real cluster the same factor applies to network bytes and to
-    // per-row serialization CPU, which do not have an lz4 backstop.
-    // BlockAssembler unpacks after the exchange; table bytes are unchanged
-    // (packing is per-row and lossless).
+    // shuffle, and ~5-bit ids packed cut MEASURED shuffle-write bytes
+    // 3.8× even after lz4 (828 MB → 217 MB for 270M tokens —
+    // tools/ShuffleProbe), plus the corresponding serialization CPU
+    // (shuffle+sort 3.7 s → 3.2 s at local[8]). On a real cluster those
+    // bytes cross the network. BlockAssembler unpacks after the exchange;
+    // table bytes are unchanged (packing is per-row and lossless).
     val blocks = todo
       .select(col("block_id"), col("_graft_key").as("k"), col("doc_id"),
         graft_encode(col("tokens"), "for").as("tokens"),
