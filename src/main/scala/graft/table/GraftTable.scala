@@ -253,7 +253,7 @@ object GraftTable {
         manifestDirs = Nil, stats = (stats.asJsonFields ++ extraMeta.toSeq).sorted,
         committedAt = java.time.Instant.now().toString)
       writeString(spark, s"$tableDir/metadata/v$ver.json", renderSnapshot(snap))
-      writeString(spark, s"$tableDir/metadata/current", ver.toString)
+      commitPointer(spark, tableDir, ver)
       return EncodeResult(ver, snapshotId, 0, 0L, 0L, 0L, 0L, 0L, 0L,
         snap.contentSig, complete = true)
     }
@@ -304,7 +304,7 @@ object GraftTable {
       committedAt = java.time.Instant.now().toString)
 
     writeString(spark, s"$tableDir/metadata/v$ver.json", renderSnapshot(snap))
-    writeString(spark, s"$tableDir/metadata/current", ver.toString)
+    commitPointer(spark, tableDir, ver)
 
     EncodeResult(ver, snapshotId, numBlocks, newBlocks, blocksDone,
       tot.getLong(1), tot.getLong(2), tot.getLong(3), tot.getLong(4),
@@ -609,7 +609,7 @@ object GraftTable {
       (stats.asJsonFields ++ extraMeta.toSeq).sorted,
       java.time.Instant.now().toString)
     writeString(spark, s"$tableDir/metadata/v$ver.json", renderSnapshot(snap))
-    writeString(spark, s"$tableDir/metadata/current", ver.toString)
+    commitPointer(spark, tableDir, ver)
     EncodeResult(ver, snapshotId, totalBlocks, numNew.toLong, tot.getLong(0),
       tot.getLong(1), tot.getLong(2), tot.getLong(3), tot.getLong(4),
       contentSig, complete = true)
@@ -851,6 +851,24 @@ object GraftTable {
 
   private def hfs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Atomic snapshot-pointer commit: write `metadata/current.tmp`, then
+    * RENAME over `metadata/current` (atomic on HDFS and POSIX local fs).
+    * A plain create-overwrite truncates in place, so a concurrent reader
+    * could observe an empty/partial pointer mid-commit; rename gives
+    * readers either the old version or the new one, never neither —
+    * the snapshot-isolation contract the rest of the metadata tree
+    * assumes (data/manifest dirs are immutable once the pointer moves).
+    */
+  private def commitPointer(spark: SparkSession, tableDir: String, ver: Int): Unit = {
+    val tmp = s"$tableDir/metadata/current.tmp"
+    writeString(spark, tmp, ver.toString)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(tableDir).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(new Path(tmp), new Path(s"$tableDir/metadata/current"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    ()
+  }
 
   private[table] def writeString(spark: SparkSession, path: String, content: String): Unit = {
     val p = new Path(path)

@@ -49,6 +49,24 @@ class BoundsSpec extends AnyFunSuite {
     } finally release()
   }
 
+  test("Ranks property: key-at-rank equals the sorted multiset (random inputs)") {
+    val rnd = new scala.util.Random(1234)
+    (0 until 3).foreach { trial =>
+      val n = 500 + rnd.nextInt(2000)
+      val dupFactor = 1 + rnd.nextInt(9)
+      val data = Array.fill(n)(rnd.nextLong() % (n / dupFactor + 1))
+      val (ranked, total, release) = Ranks.withRank(
+        data.toIndexedSeq.toDF("k"), col("k"), "rn", 1 + rnd.nextInt(15))
+      try {
+        assert(total == n.toLong)
+        val byRank = ranked.select("rn", "k").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+        assert(byRank.map(_._1).sameElements((1L to n).toArray[Long]), s"trial $trial: ranks not dense")
+        assert(byRank.map(_._2).sameElements(data.sorted), s"trial $trial: key-at-rank mismatch")
+      } finally release()
+    }
+  }
+
   test("Ranks.withRank handles empty input") {
     val (_, total, release) = Ranks.withRank(
       Seq.empty[Long].toDF("k"), col("k"), "rn", 4)

@@ -249,6 +249,24 @@ class TableSpec extends AnyFunSuite {
       .sameElements(collectRows(source)))
   }
 
+  test("corrupt metadata fails loud: dangling pointer and unparseable snapshot") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val dir = tmpDir("corrupt")
+    GraftTable.encode(source.toDF(), dir, GraftTable.Options(targetRowsPerBlock = 256))
+    // corruption must go through the Hadoop FS writer (local fs keeps .crc
+    // sidecars; an out-of-band nio write trips ChecksumException instead)
+    JFiles.createDirectories(Paths.get(s"$dir/metadata"))
+    // dangling pointer → clear IllegalStateException, not an NPE or a
+    // silently-empty table
+    GraftTable.writeString(spark, s"$dir/metadata/current", "99")
+    val e = intercept[IllegalStateException](GraftTable.currentSnapshot(spark, dir))
+    assert(e.getMessage.contains("dangling current pointer"))
+    // unparseable snapshot JSON → parse error surfaces, not silent data loss
+    GraftTable.writeString(spark, s"$dir/metadata/current", "1")
+    GraftTable.writeString(spark, s"$dir/metadata/v1.json", "{ not json")
+    intercept[Exception](GraftTable.currentSnapshot(spark, dir))
+  }
+
   test("empty input commits an empty complete snapshot") {
     import spark.implicits._
     val dir = tmpDir("empty")
