@@ -332,11 +332,12 @@ object SparkEntry {
           sum(Tokenize.checksumCol(col("tokens"))).as("checksum_sum"))
     }),
 
-    // R7/R8: catalog registration + spark.sql over the DECODED view — the
-    // Hive-delegation analogue; oracle recomputes from raw documents
+    // R7/R8: DURABLE catalog registration + spark.sql over the DECODED
+    // view — the Hive-delegation analogue (the registration survives into
+    // new sessions via the catalog file); oracle recomputes from raw docs
     "q_sql_view" -> ((s, dir) => {
       val tdir = encodedTableDir(s, dir)
-      GraftTable.registerViews(s, tdir, "graft")
+      graft.table.GraftCatalog.register(s, s"$tdir/catalog", "graft", tdir)
       s.sql(
         """SELECT source,
           |       CAST(count(*) AS BIGINT) AS docs,

@@ -8,10 +8,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Streaming surface beyond ingest: event-time windowed aggregation under a
   * watermark, and custom keyed state via `flatMapGroupsWithState`.
   *
-  * Scale notes: both operators keep per-key state bounded — the windowed
-  * agg drops state once the watermark passes a window, and the stateful
-  * dedup keys state by content digest (32 B) with a processing-time
-  * timeout, so state size tracks the UNIQUE corpus, never the stream
+  * Scale notes: per-key state stays small — the windowed agg drops state
+  * once the watermark passes a window, and the stateful dedup keeps one
+  * (digest, first id, count) entry per UNIQUE document, never the stream
   * length × payload.
   */
 object StreamingOps {
@@ -36,7 +35,28 @@ object StreamingOps {
         col("window.end").as("window_end"),
         col("source"), col("docs"), col("tokens"))
 
-  final case class SeenDoc(digest: String, doc_id: String, text: String)
+  /** Streaming clean-and-encode: dedup the document stream by content
+    * digest, tokenize survivors against a fixed broadcast vocab, and land
+    * them in the graft table — the streaming analogue of
+    * [[graft.ops.Pipeline.cleanAndEncode]], composed from [[dedupStream]]
+    * and [[StreamingEncode]]'s idempotent batch sink.
+    */
+  def cleanAndEncodeStream(
+      docs: DataFrame,
+      vocab: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]],
+      tableDir: String,
+      checkpointDir: String,
+      opts: graft.table.GraftTable.Options = graft.table.GraftTable.Options())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val deduped = dedupStream(docs).toDF()
+    StreamingEncode.start(
+      graft.table.Tokenize.tokenTable(deduped, vocab).toDF(),
+      tableDir, checkpointDir, opts,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+  }
+
+  final case class SeenDoc(digest: String, doc_id: String, text: String, source: String)
   final case class DedupState(firstDocId: String, dups: Long)
 
   /** Streaming exact dedup: the FIRST document with a given content digest
@@ -55,7 +75,8 @@ object StreamingOps {
       .select(
         sha2(col("text"), 256).as("digest"),
         col("doc_id").cast("string").as("doc_id"),
-        col("text"))
+        col("text"),
+        col("source").cast("string").as("source"))
       .as[SeenDoc]
       .groupByKey(_.digest)
       .flatMapGroupsWithState(

@@ -137,20 +137,56 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stateful streaming dedup: first doc passes, replicas across batches drop") {
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[(String, String)]
-    val out = StreamingOps.dedupStream(mem.toDF().toDF("doc_id", "text"))
+    val mem = MemoryStream[(String, String, String)]
+    val out = StreamingOps.dedupStream(mem.toDF().toDF("doc_id", "text", "source"))
     val q = out.writeStream.format("memory")
       .queryName("dedup_stream").outputMode("append").start()
     try {
-      mem.addData(("1", "alpha beta"), ("2", "alpha beta"), ("3", "gamma"))
+      mem.addData(("1", "alpha beta", "s"), ("2", "alpha beta", "s"), ("3", "gamma", "s"))
       q.processAllAvailable()
       // replicas of batch-1 texts arriving in batch 2 must NOT re-emit
-      mem.addData(("4", "alpha beta"), ("5", "gamma"), ("6", "delta"))
+      mem.addData(("4", "alpha beta", "s"), ("5", "gamma", "s"), ("6", "delta", "s"))
       q.processAllAvailable()
       val kept = spark.sql("SELECT doc_id FROM dedup_stream")
         .collect().map(_.getString(0)).sorted.toSeq
       assert(kept == Seq("1", "3", "6"), s"kept=$kept")
     } finally q.stop()
+  }
+
+  test("streaming clean-and-encode: dedup → tokenize → graft table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-cleanstream").toString
+    val ckpt = Files.createTempDirectory("graft-cleanckpt").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("string"), col("text"), col("source"))
+      .limit(50).collect()
+    val (_, vocabBc) = Tokenize.cachedVocab(spark, "/root/testdata/sf0.001")
+
+    val mem = MemoryStream[(String, String, String)]
+    val q = StreamingOps.cleanAndEncodeStream(
+      mem.toDF().toDF("doc_id", "text", "source"), vocabBc, dir, ckpt,
+      GraftTable.Options(targetRowsPerBlock = 64))
+    try {
+      // batch 1: 30 docs; batch 2: 20 new + 5 replicas of batch-1 texts
+      mem.addData(docs.take(30).map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq)
+      q.processAllAvailable()
+      mem.addData((docs.drop(30) ++ docs.take(5).map(r =>
+        org.apache.spark.sql.Row("9" + r.getString(0), r.getString(1), r.getString(2))))
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // replicas dropped, survivors tokenized and committed
+    val decoded = GraftTable.decode(spark, dir)
+    assert(decoded.count() == 50, s"expected 50 unique docs, got ${decoded.count()}")
+    val replicaIds = docs.take(5).map(r => "9" + r.getString(0))
+    assert(decoded.toDF().where(col("doc_id").isin(replicaIds: _*)).count() == 0,
+      "a replica leaked through the streaming dedup")
+    // tokens match the batch tokenization of the same docs
+    val batch = Tokenize.tokenTable(spark, "/root/testdata/sf0.001").toDF()
+    val mism = decoded.toDF().alias("d").join(batch.alias("s"), "doc_id")
+      .where(!(col("d.tokens") <=> col("s.tokens"))).count()
+    assert(mism == 0)
   }
 
   test("streaming ingest: micro-batches append and round-trip") {
