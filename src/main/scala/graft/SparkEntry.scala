@@ -36,7 +36,7 @@ object SparkEntry {
 
   private def encodedTableDir(spark: SparkSession, sfDir: String): String =
     tableDirCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir), {
-      val dir = "/tmp/graft-tables/f4-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = "/tmp/graft-tables/f5-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
       GraftTable.encode(
         Tokenize.tokenTable(spark, sfDir).toDF(), dir,
         GraftTable.Options(targetRowsPerBlock = 128))

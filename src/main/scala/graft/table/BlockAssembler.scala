@@ -20,7 +20,13 @@ final case class BlockInput(
     n_tok: Int,
     source: String)
 
-/** One encoded block = one output row = one manifest entry's data. */
+/** One encoded block = one output row = one manifest entry's data.
+  * `row_xor` is the xor over the block's rows of the FULL-row value hash
+  * (bit-for-bit Spark's `xxhash64(doc_id, n_tok, source, tokens)`, see
+  * [[BlockAssembler.rowHash]]): resume confirmation compares the INPUT's
+  * row-xor against the manifest's stored xors — a metadata aggregate —
+  * instead of decoding the whole table.
+  */
 final case class BlockRow(
     block_id: Int,
     ver: Int,
@@ -31,6 +37,7 @@ final case class BlockRow(
     tok_min: Int,
     tok_max: Int,
     plain_bytes: Long,
+    row_xor: Long,
     pl_doc_id: Array[Byte],
     pl_tokens: Array[Byte],
     pl_n_tok: Array[Byte],
@@ -43,6 +50,24 @@ final case class BlockRow(
   * lets the same code encode 10^12 rows without spill pathology.
   */
 object BlockAssembler {
+
+  /** Bit-exact JVM twin of the Catalyst expression
+    * `xxhash64(doc_id, n_tok, source, tokens)` over (string, int, string,
+    * array<int>): seed 42, then per child `hash = XXH64(child, hash)`,
+    * arrays hashed element-wise. The equality with the SQL form is
+    * property-tested (TableSpec); resume safety depends on it.
+    */
+  def rowHash(docId: String, nTok: Int, source: String, tokens: Array[Int]): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    var h = 42L
+    h = XXH64.hashUTF8String(UTF8String.fromString(docId), h)
+    h = XXH64.hashInt(nTok, h)
+    h = XXH64.hashUTF8String(UTF8String.fromString(source), h)
+    var i = 0
+    while (i < tokens.length) { h = XXH64.hashInt(tokens(i), h); i += 1 }
+    h
+  }
 
   def assemble(
       it: Iterator[BlockInput],
@@ -62,6 +87,7 @@ object BlockAssembler {
       var flat = new Array[Int](1 << 16)
       var flatLen = 0
       var plainBytes = 0L
+      var rowXor = 0L
       var tokMin = Int.MaxValue
       var tokMax = Int.MinValue
 
@@ -88,6 +114,7 @@ object BlockAssembler {
           ti += 1
         }
         plainBytes += r.doc_id.length + r.source.length + 4L + 4L * r.n_tok
+        rowXor ^= rowHash(r.doc_id, r.n_tok, r.source, rowTokens)
       }
 
       val tokens = java.util.Arrays.copyOf(flat, flatLen)
@@ -101,6 +128,7 @@ object BlockAssembler {
         tok_min = if (flatLen == 0) 0 else tokMin,
         tok_max = if (flatLen == 0) 0 else tokMax,
         plain_bytes = plainBytes,
+        row_xor = rowXor,
         pl_doc_id = StrBlocks.encodeAuto(docIds.toArray),
         pl_tokens = IntBlocks.encodeAutoChoice(tokens, allowDict, allowFsst)._1,
         pl_n_tok = IntBlocks.encodeAuto(nToks.toArray),

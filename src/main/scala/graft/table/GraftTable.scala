@@ -131,11 +131,11 @@ object GraftTable {
     * min/max, per-row (doc_id, n_tok, source) xor) intentionally excludes
     * token VALUES — hashing every token on every encode would tax the hot
     * path ~15 ns/token for a rare event. Instead, a scalar-matching resume
-    * candidate is CONFIRMED by value (decode the done blocks and xor-hash
-    * full rows on both sides — ~5× cheaper than re-encoding and paid only
-    * on the resume path). An input whose tokens changed while preserving
-    * the scalar stats therefore triggers a fresh encode, not a silent
-    * stale-table no-op. Opt out via [[Options.verifyResume]].
+    * candidate is CONFIRMED by value: one input scan's row-xor against the
+    * manifest's per-block `row_xor` (recorded during assembly — a metadata
+    * aggregate, no table decode). An input whose tokens changed while
+    * preserving the scalar stats therefore triggers a fresh encode, not a
+    * silent stale-table no-op. Opt out via [[Options.verifyResume]].
     */
   def encode(
       tokens: DataFrame,
@@ -383,13 +383,15 @@ object GraftTable {
     expr("bit_xor(xxhash64(cast(doc_id as string), cast(n_tok as int), " +
       "cast(source as string), tokens))")
 
-  /** Confirm a resume candidate by VALUE: xor-hash of full rows on the
-    * decoded done-blocks vs the same hash over the input rows that map to
-    * those blocks. Codecs are deterministic and bit-exact, so equal hashes
-    * ⇔ the stored table is byte-for-byte the encode of this input. Catches
-    * the scalar-fingerprint blind spot (token values permuted while counts
-    * and global min/max hold — ADVICE r1) at decode speed instead of
-    * hashing every token on every encode.
+  /** Confirm a resume candidate by VALUE: the xor of full-row hashes over
+    * the input rows that map to done blocks must equal the xor of the
+    * manifest's per-block `row_xor` entries (recorded during assembly,
+    * bit-exact twins of [[rowXorExpr]] — see [[BlockAssembler.rowHash]]).
+    * Codecs are deterministic, so equal xors ⇔ the stored table is the
+    * encode of this input. ONE input scan plus a metadata aggregate —
+    * catches the scalar-fingerprint blind spot (token values permuted
+    * while counts and global min/max hold — ADVICE r1) without hashing
+    * every token on every encode or decoding the table to compare.
     */
   private def resumeValuesMatch(
       spark: SparkSession, tableDir: String, p: Snapshot, keyed: DataFrame): Boolean = {
@@ -398,19 +400,22 @@ object GraftTable {
       val r = df.agg(rowXorExpr.as("x")).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    val decodedXor = xorOf(decode(spark, tableDir).toDF())
+    val man = readManifest(spark, tableDir, p)
+    val storedXor = {
+      val r = man.agg(expr("bit_xor(row_xor)")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     val inputXor =
       if (p.complete) xorOf(keyed)
       else {
         // partial parent: compare only input rows that land in done blocks
-        val done = readManifest(spark, tableDir, p)
-          .select(col("block_id").cast("int").as("block_id")).distinct()
+        val done = man.select(col("block_id").cast("int").as("block_id")).distinct()
         val bc = spark.sparkContext.broadcast(loadBounds(spark, tableDir, p))
         xorOf(keyed
           .withColumn("block_id", graft_range_bucket(col("_graft_key"), bc))
           .join(done, Seq("block_id"), "left_semi"))
       }
-    decodedXor == inputXor
+    storedXor == inputXor
   }
 
   /** Bounds file IO: one bigint column `k`, sorted on load. */
@@ -511,7 +516,7 @@ object GraftTable {
     spark.read.parquet(dataPath).select(
       col("block_id"), col("ver"), col("row_count"), col("token_count"),
       col("doc_id_min"), col("doc_id_max"),
-      col("tok_min"), col("tok_max"), col("plain_bytes"),
+      col("tok_min"), col("tok_max"), col("plain_bytes"), col("row_xor"),
       graft_codec(col("pl_doc_id")).as("codec_doc_id"),
       graft_codec(col("pl_tokens")).as("codec_tokens"),
       graft_codec(col("pl_n_tok")).as("codec_n_tok"),

@@ -249,6 +249,20 @@ class TableSpec extends AnyFunSuite {
       .sameElements(collectRows(source)))
   }
 
+  test("BlockAssembler.rowHash is Spark's xxhash64 bit for bit") {
+    // resume safety depends on the manifest's row_xor (JVM-side hash at
+    // assembly time) matching the SQL-side input hash exactly
+    val rows = source.collect().take(100)
+    val sqlHashes = rows.toIndexedSeq.toDF()
+      .select(col("doc_id"), expr(
+        "xxhash64(cast(doc_id as string), cast(n_tok as int), cast(source as string), tokens)"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val jvm = BlockAssembler.rowHash(r.doc_id, r.n_tok, r.source, r.tokens)
+      assert(jvm == sqlHashes(r.doc_id), s"hash mismatch for doc ${r.doc_id}")
+    }
+  }
+
   test("corrupt metadata fails loud: dangling pointer and unparseable snapshot") {
     import java.nio.file.{Files => JFiles, Paths}
     val dir = tmpDir("corrupt")
