@@ -125,6 +125,27 @@ class CodecSpec extends AnyFunSuite with SeededGens {
     assert(chW.candidateSizes.values.forall(chW.bytes <= _))
   }
 
+  test("sampled trials: heterogeneous block (the estimator's worst case) stays correct") {
+    // half phrase-repetitive, half wide-random: a prefix-style sample
+    // misjudges such blocks — selection may be suboptimal but must remain
+    // CORRECT (bit-identical round-trip) and never worse than the best
+    // exact analytic candidate
+    val n = IntBlocks.TrialSampleMinN + 60000
+    val phrase = Array(2, 7, 1, 8, 2, 8, 1, 8)
+    val rnd = new java.util.Random(99)
+    val mixed = Array.tabulate(n)(i =>
+      if (i < n / 2) phrase(i % phrase.length) else rnd.nextInt(1 << 16))
+    val (enc, ch) = IntBlocks.encodeAutoChoice(mixed)
+    assert(IntBlocks.decode(enc).sameElements(mixed))
+    assert(ch.candidateSizes.values.forall(ch.bytes <= _),
+      s"${ch.name} ${ch.bytes} vs ${ch.candidateSizes}")
+    // the committed payload is never worse than exact bitpack/for/pfor
+    val exactBest = Seq(
+      IntBlocks.exactSize(IntBlocks.idOf("bitpack"), mixed),
+      IntBlocks.exactSize(IntBlocks.idOf("for"), mixed)).flatten.min
+    assert(ch.bytes <= exactBest, s"payload ${ch.bytes} worse than exact $exactBest")
+  }
+
   test("PFOR wins on outlier-polluted columns and patches exactly") {
     val rnd = new scala.util.Random(7)
     val a = Array.fill(2000)(rnd.nextInt(16))

@@ -249,6 +249,21 @@ class TableSpec extends AnyFunSuite {
       .sameElements(collectRows(source)))
   }
 
+  test("decodeRange spans encode + append versions via manifest pruning") {
+    import spark.implicits._
+    val dir = tmpDir("rangeappend")
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    GraftTable.encode(
+      source.toDF().where(col("doc_id").cast("long") < 250), dir, opts)
+    GraftTable.append(
+      source.toDF().where(col("doc_id").cast("long") >= 250), dir, opts)
+    // the range straddles the version boundary: rows must come from BOTH
+    val got: Array[Long] = GraftTable.decodeRange(spark, dir, 240L, 260L)
+      .select("doc_id").as[String].collect().map(_.toLong).sorted
+    val want: Array[Long] = (240L to 260L).toArray
+    assert(got.sameElements(want), s"got ${got.mkString(",")}")
+  }
+
   test("BlockAssembler.rowHash is Spark's xxhash64 bit for bit") {
     // resume safety depends on the manifest's row_xor (JVM-side hash at
     // assembly time) matching the SQL-side input hash exactly
