@@ -152,6 +152,15 @@ object GraftTable {
       .filter(_.inputFingerprint == stats.fingerprint) // fp change => fresh encode
       .filter(p => !opts.verifyResume ||
         timed("resume-confirm")(resumeValuesMatch(spark, tableDir, p, keyed)))
+
+    // complete-table no-op: the (confirmed) current snapshot IS the encode
+    // of this input — return without loading bounds, broadcasting, or
+    // running an empty encode job (at 15M blocks those cost real seconds)
+    parent.filter(p => p.complete && opts.blockFilter.isEmpty).foreach { p =>
+      return EncodeResult(p.version, p.snapshotId, p.numBlocks, 0L,
+        p.blocksEncoded, p.rowCount, p.tokenCount, p.bytesTotal, p.plainBytes,
+        p.contentSig, complete = true)
+    }
     val ver = currentSnapshot(spark, tableDir).map(_.version).getOrElse(0) + 1
 
     // bounds: reuse the parent's bounds file on resume, else compute
