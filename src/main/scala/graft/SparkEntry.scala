@@ -36,7 +36,7 @@ object SparkEntry {
 
   private def encodedTableDir(spark: SparkSession, sfDir: String): String =
     tableDirCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir), {
-      val dir = "/tmp/graft-tables/f5-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = "/tmp/graft-tables/f6-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
       GraftTable.encode(
         Tokenize.tokenTable(spark, sfDir).toDF(), dir,
         GraftTable.Options(targetRowsPerBlock = 128))
@@ -312,6 +312,20 @@ object SparkEntry {
     "q_decode_range" -> ((s, dir) => {
       val tdir = encodedTableDir(s, dir)
       GraftTable.decodeRange(s, tdir, 100L, 150L).toDF()
+        .select(
+          col("doc_id"),
+          col("n_tok").cast("long").as("n_tok"),
+          Tokenize.checksumCol(col("tokens")).as("checksum"),
+          col("source"))
+        .orderBy(col("doc_id").cast("long"))
+    }),
+
+    // source zone maps: decode only one source's rows — block-level
+    // pruning via the manifest's per-block distinct-source list + exact
+    // row filter; the oracle recomputes the slice from raw documents
+    "q_decode_source" -> ((s, dir) => {
+      val tdir = encodedTableDir(s, dir)
+      GraftTable.decodeWhere(s, tdir, Seq("src3")).toDF()
         .select(
           col("doc_id"),
           col("n_tok").cast("long").as("n_tok"),
@@ -679,6 +693,23 @@ object SparkEntry {
         |  SELECT doc_id, source, unnest(string_split(text,' ')) AS word,
         |         generate_subscripts(string_split(text,' '),1) AS pos
         |  FROM documents WHERE doc_id BETWEEN 100 AND 150
+        |)
+        |SELECT CAST(p.doc_id AS VARCHAR) AS doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tok,
+        |       CAST(sum(v.tid * p.pos) AS BIGINT) AS checksum,
+        |       any_value(p.source) AS source
+        |FROM pairs p JOIN vocab v ON v.word = p.word
+        |GROUP BY p.doc_id
+        |ORDER BY CAST(p.doc_id AS BIGINT)""".stripMargin,
+
+    "q_decode_source" ->
+      """WITH vocab AS (
+        |  SELECT word, row_number() OVER (ORDER BY word) - 1 AS tid
+        |  FROM (SELECT DISTINCT unnest(string_split(text,' ')) AS word FROM documents)
+        |), pairs AS (
+        |  SELECT doc_id, source, unnest(string_split(text,' ')) AS word,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents WHERE source = 'src3'
         |)
         |SELECT CAST(p.doc_id AS VARCHAR) AS doc_id,
         |       CAST(count(*) AS BIGINT) AS n_tok,

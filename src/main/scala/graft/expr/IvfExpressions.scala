@@ -25,7 +25,11 @@ object IvfRuntime {
       var i = 0
       val n = math.min(dim, cent.length)
       while (i < n) { dot += v.getFloat(i).toDouble * cent(i); i += 1 }
-      if (dot > bestDot) { bestDot = dot; best = c } // ties → lower cid
+      // NaN dots (degenerate NaN/Inf embeddings) rank as -Inf so an
+      // all-NaN row still assigns deterministically to centroid 0 instead
+      // of returning cid -1 (ADVICE r2)
+      if (dot != dot) dot = Double.NegativeInfinity
+      if (best < 0 || dot > bestDot) { bestDot = dot; best = c } // ties → lower cid
       c += 1
     }
     best
@@ -45,7 +49,9 @@ object IvfRuntime {
       var i = 0
       val n = math.min(dim, cent.length)
       while (i < n) { dot += v.getFloat(i).toDouble * cent(i); i += 1 }
-      dots(c) = dot
+      // NaN → -Inf: keeps selection total for degenerate embeddings so
+      // taken(best) below never indexes -1 (ADVICE r2)
+      dots(c) = if (dot != dot) Double.NegativeInfinity else dot
       c += 1
     }
     val m = math.min(nprobe, k)
@@ -57,7 +63,7 @@ object IvfRuntime {
       var bestDot = Double.NegativeInfinity
       c = 0
       while (c < k) {
-        if (!taken(c) && dots(c) > bestDot) { bestDot = dots(c); best = c }
+        if (!taken(c) && (best < 0 || dots(c) > bestDot)) { bestDot = dots(c); best = c }
         c += 1
       }
       taken(best) = true

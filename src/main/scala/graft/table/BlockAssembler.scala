@@ -21,11 +21,17 @@ final case class BlockInput(
     source: String)
 
 /** One encoded block = one output row = one manifest entry's data.
-  * `row_xor` is the xor over the block's rows of the FULL-row value hash
-  * (bit-for-bit Spark's `xxhash64(doc_id, n_tok, source, tokens)`, see
+  * `row_xor`/`row_sum` are the xor and the wrapping (mod 2^64) sum over the
+  * block's rows of the FULL-row value hash (bit-for-bit Spark's
+  * `xxhash64(doc_id, n_tok, source, tokens)`, see
   * [[BlockAssembler.rowHash]]): resume confirmation compares the INPUT's
-  * row-xor against the manifest's stored xors — a metadata aggregate —
-  * instead of decoding the whole table.
+  * row-xor AND row-sum against the manifest's stored values — a metadata
+  * aggregate — instead of decoding the whole table. The sum makes the
+  * check multiplicity-sensitive (an even number of identical row changes
+  * cancels in the xor but not in the sum — ADVICE r2).
+  * `src_list` is the block's sorted distinct source values (null when more
+  * than [[BlockAssembler.SrcListCap]] — such blocks are never pruned), the
+  * zone map behind `decodeWhere`.
   */
 final case class BlockRow(
     block_id: Int,
@@ -38,6 +44,8 @@ final case class BlockRow(
     tok_max: Int,
     plain_bytes: Long,
     row_xor: Long,
+    row_sum: Long,
+    src_list: Seq[String],
     pl_doc_id: Array[Byte],
     pl_tokens: Array[Byte],
     pl_n_tok: Array[Byte],
@@ -50,6 +58,13 @@ final case class BlockRow(
   * lets the same code encode 10^12 rows without spill pathology.
   */
 object BlockAssembler {
+
+  /** Distinct-source cap for the per-block `src_list` zone map: sources are
+    * low-cardinality by design (corpus provenance labels), so 64 covers any
+    * real block; a pathological block above it stores null and simply stays
+    * non-prunable.
+    */
+  val SrcListCap = 64
 
   /** Bit-exact JVM twin of the Catalyst expression
     * `xxhash64(doc_id, n_tok, source, tokens)` over (string, int, string,
@@ -88,8 +103,10 @@ object BlockAssembler {
       var flatLen = 0
       var plainBytes = 0L
       var rowXor = 0L
+      var rowSum = 0L // wrapping mod-2^64 multiset hash
       var tokMin = Int.MaxValue
       var tokMax = Int.MinValue
+      val srcSet = new java.util.TreeSet[String]()
 
       while (in.hasNext && in.head.block_id == blockId) {
         val r = in.next()
@@ -114,7 +131,10 @@ object BlockAssembler {
           ti += 1
         }
         plainBytes += r.doc_id.length + r.source.length + 4L + 4L * r.n_tok
-        rowXor ^= rowHash(r.doc_id, r.n_tok, r.source, rowTokens)
+        val h = rowHash(r.doc_id, r.n_tok, r.source, rowTokens)
+        rowXor ^= h
+        rowSum += h
+        if (srcSet.size <= SrcListCap) srcSet.add(r.source)
       }
 
       val tokens = java.util.Arrays.copyOf(flat, flatLen)
@@ -129,6 +149,10 @@ object BlockAssembler {
         tok_max = if (flatLen == 0) 0 else tokMax,
         plain_bytes = plainBytes,
         row_xor = rowXor,
+        row_sum = rowSum,
+        src_list =
+          if (srcSet.size > SrcListCap) null
+          else srcSet.toArray(new Array[String](srcSet.size)).toIndexedSeq,
         pl_doc_id = StrBlocks.encodeAuto(docIds.toArray),
         pl_tokens = IntBlocks.encodeAutoChoice(tokens, allowDict, allowFsst)._1,
         pl_n_tok = IntBlocks.encodeAuto(nToks.toArray),

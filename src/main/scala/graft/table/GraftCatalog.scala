@@ -62,7 +62,9 @@ object GraftCatalog {
     } + "\""
     val body = all.map(e => s"""{"name": ${js(e.name)}, "dir": ${js(e.tableDir)}}""")
       .mkString("[", ", ", "]")
-    GraftTable.writeString(spark, file(catalogDir),
+    // atomic (tmp-then-rename): a concurrent reader never sees a truncated
+    // catalog mid-upsert (ADVICE r2)
+    GraftTable.writeStringAtomic(spark, file(catalogDir),
       s"""{"format": "graft-catalog/1", "tables": $body}""")
   }
 }

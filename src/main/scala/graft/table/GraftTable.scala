@@ -148,7 +148,13 @@ object GraftTable {
       expr(KeyExpr).as("_graft_key"))
 
     val stats = timed("stats")(Stats.collect(keyed, opts.sampleRows))
-    val parent = currentSnapshot(spark, tableDir)
+    val cur = currentSnapshot(spark, tableDir)
+    // stream_* metadata (e.g. the exactly-once batchId watermark) carries
+    // forward into child snapshots unless the caller overrides it —
+    // otherwise an interleaved compact()/manual encode would drop the key
+    // and a replayed streaming batch would re-append (ADVICE r2)
+    val meta = carriedMeta(cur) ++ extraMeta
+    val parent = cur
       .filter(_.inputFingerprint == stats.fingerprint) // fp change => fresh encode
       .filter(p => !opts.verifyResume ||
         timed("resume-confirm")(resumeValuesMatch(spark, tableDir, p, keyed)))
@@ -161,7 +167,7 @@ object GraftTable {
         p.blocksEncoded, p.rowCount, p.tokenCount, p.bytesTotal, p.plainBytes,
         p.contentSig, complete = true)
     }
-    val ver = currentSnapshot(spark, tableDir).map(_.version).getOrElse(0) + 1
+    val ver = cur.map(_.version).getOrElse(0) + 1
 
     // bounds: reuse the parent's bounds file on resume, else compute
     // distributed (Ranks — no single-partition sort) and persist to a
@@ -259,7 +265,7 @@ object GraftTable {
         KeyStrategy, boundsDir, numBlocks = 0, blocksEncoded = 0L,
         complete = true, rowCount = 0L, tokenCount = 0L, bytesTotal = 0L,
         plainBytes = 0L, contentSig = "0" * 16, dataDirs = Nil,
-        manifestDirs = Nil, stats = (stats.asJsonFields ++ extraMeta.toSeq).sorted,
+        manifestDirs = Nil, stats = (stats.asJsonFields ++ meta.toSeq).sorted,
         committedAt = java.time.Instant.now().toString)
       writeString(spark, s"$tableDir/metadata/v$ver.json", renderSnapshot(snap))
       commitPointer(spark, tableDir, ver)
@@ -309,7 +315,7 @@ object GraftTable {
       contentSig = contentSig,
       dataDirs = dataDirs,
       manifestDirs = manifestDirs,
-      stats = (stats.asJsonFields ++ extraMeta.toSeq).sorted,
+      stats = (stats.asJsonFields ++ meta.toSeq).sorted,
       committedAt = java.time.Instant.now().toString)
 
     writeString(spark, s"$tableDir/metadata/v$ver.json", renderSnapshot(snap))
@@ -319,6 +325,15 @@ object GraftTable {
       tot.getLong(1), tot.getLong(2), tot.getLong(3), tot.getLong(4),
       contentSig, complete)
   }
+
+  /** `stream_*` snapshot metadata (the streaming sink's exactly-once
+    * batchId watermark) inherited from the parent snapshot when the caller
+    * doesn't override it, so compaction / manual writes interleaved with an
+    * active stream never erase the replay guard (ADVICE r2).
+    */
+  private def carriedMeta(parent: Option[Snapshot]): Map[String, String] =
+    parent.map(_.stats.filter(_._1.startsWith("stream_")).toMap)
+      .getOrElse(Map.empty)
 
   /** Range-block bounds from a hash-strided key sample. Properties a plain
     * `df.sample(seed)` + approxQuantile would NOT give:
@@ -388,43 +403,63 @@ object GraftTable {
   /** Full-row value hash, type-pinned so the input and decoded sides hash
     * identically regardless of caller column types.
     */
-  private def rowXorExpr =
-    expr("bit_xor(xxhash64(cast(doc_id as string), cast(n_tok as int), " +
-      "cast(source as string), tokens))")
+  private val rowHashSql =
+    "xxhash64(cast(doc_id as string), cast(n_tok as int), " +
+      "cast(source as string), tokens)"
 
-  /** Confirm a resume candidate by VALUE: the xor of full-row hashes over
-    * the input rows that map to done blocks must equal the xor of the
-    * manifest's per-block `row_xor` entries (recorded during assembly,
-    * bit-exact twins of [[rowXorExpr]] — see [[BlockAssembler.rowHash]]).
-    * Codecs are deterministic, so equal xors ⇔ the stored table is the
-    * encode of this input. ONE input scan plus a metadata aggregate —
-    * catches the scalar-fingerprint blind spot (token values permuted
-    * while counts and global min/max hold — ADVICE r1) without hashing
-    * every token on every encode or decoding the table to compare.
+  private val Mod64 = java.math.BigInteger.ONE.shiftLeft(64)
+
+  /** Wrapping (mod 2^64) value of an exact decimal(38,0) sum, aligned with
+    * the JVM side's wrapping `Long` accumulation. Spark 4 runs ANSI mode by
+    * default, so a plain `sum(bigint)` would throw on overflow — the sum is
+    * taken exactly in decimal and reduced here.
+    */
+  private def mod64(d: java.math.BigDecimal): java.math.BigInteger =
+    d.toBigInteger.mod(Mod64)
+
+  /** Confirm a resume candidate by VALUE: the xor AND the wrapping mod-2^64
+    * sum of full-row hashes over the input rows that map to done blocks
+    * must equal the same aggregates of the manifest's per-block
+    * `row_xor`/`row_sum` entries (recorded during assembly, bit-exact twins
+    * of [[rowHashSql]] — see [[BlockAssembler.rowHash]]). Codecs are
+    * deterministic, so equal (xor, sum) pairs mean the stored table is the
+    * encode of this input up to 64-bit multiset-hash collisions — the xor
+    * alone was blind to row changes occurring an even number of times
+    * (ADVICE r2); the wrapping sum is multiplicity-sensitive. ONE input
+    * scan plus a metadata aggregate — catches the scalar-fingerprint blind
+    * spot (token values permuted while counts and global min/max hold —
+    * ADVICE r1) without hashing every token on every encode or decoding
+    * the table to compare.
     */
   private def resumeValuesMatch(
       spark: SparkSession, tableDir: String, p: Snapshot, keyed: DataFrame): Boolean = {
     if (p.numBlocks == 0) return true // empty parent ⇔ empty input (fp pins rows=0)
-    def xorOf(df: DataFrame): Long = {
-      val r = df.agg(rowXorExpr.as("x")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    def sig(df: DataFrame): (Long, java.math.BigInteger) = {
+      val r = df.agg(
+        expr(s"bit_xor($rowHashSql)").as("x"),
+        expr(s"sum(cast($rowHashSql as decimal(38,0)))").as("s")).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigInteger.ZERO else mod64(r.getDecimal(1)))
     }
     val man = readManifest(spark, tableDir, p)
-    val storedXor = {
-      val r = man.agg(expr("bit_xor(row_xor)")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    val stored = {
+      val r = man.agg(
+        expr("bit_xor(row_xor)").as("x"),
+        expr("sum(cast(row_sum as decimal(38,0)))").as("s")).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigInteger.ZERO else mod64(r.getDecimal(1)))
     }
-    val inputXor =
-      if (p.complete) xorOf(keyed)
+    val input =
+      if (p.complete) sig(keyed)
       else {
         // partial parent: compare only input rows that land in done blocks
         val done = man.select(col("block_id").cast("int").as("block_id")).distinct()
         val bc = spark.sparkContext.broadcast(loadBounds(spark, tableDir, p))
-        xorOf(keyed
+        sig(keyed
           .withColumn("block_id", graft_range_bucket(col("_graft_key"), bc))
           .join(done, Seq("block_id"), "left_semi"))
       }
-    storedXor == inputXor
+    stored._1 == input._1 && stored._2 == input._2
   }
 
   /** Bounds file IO: one bigint column `k`, sorted on load. */
@@ -525,7 +560,8 @@ object GraftTable {
     spark.read.parquet(dataPath).select(
       col("block_id"), col("ver"), col("row_count"), col("token_count"),
       col("doc_id_min"), col("doc_id_max"),
-      col("tok_min"), col("tok_max"), col("plain_bytes"), col("row_xor"),
+      col("tok_min"), col("tok_max"), col("plain_bytes"),
+      col("row_xor"), col("row_sum"), col("src_list"),
       graft_codec(col("pl_doc_id")).as("codec_doc_id"),
       graft_codec(col("pl_tokens")).as("codec_tokens"),
       graft_codec(col("pl_n_tok")).as("codec_n_tok"),
@@ -620,7 +656,7 @@ object GraftTable {
       KeyStrategy, p.boundsDir, totalBlocks, tot.getLong(0), complete = true,
       tot.getLong(1), tot.getLong(2), tot.getLong(3), tot.getLong(4),
       contentSig, dataDirs, manifestDirs,
-      (stats.asJsonFields ++ extraMeta.toSeq).sorted,
+      (stats.asJsonFields ++ (carriedMeta(Some(p)) ++ extraMeta).toSeq).sorted,
       java.time.Instant.now().toString)
     writeString(spark, s"$tableDir/metadata/v$ver.json", renderSnapshot(snap))
     commitPointer(spark, tableDir, ver)
@@ -714,7 +750,9 @@ object GraftTable {
       case _ => false
     }
     val aggs = fields.flatMap { f =>
-      val c = col(f.name)
+      // backquoted: a bare col("a.b") would resolve as nested-field access
+      // for column names containing dots (ADVICE r2)
+      val c = col(s"`${f.name}`")
       Seq(
         count(c).as(s"__cnt_${f.name}"),
         coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls_${f.name}")) ++
@@ -760,6 +798,35 @@ object GraftTable {
     decodeBlocks(spark, tableDir, hit)
       .where(expr("try_cast(doc_id as bigint)").between(minId, maxId))
   }
+
+  /** Decode only the rows whose `source` is one of `sources`: block-level
+    * pruning via the manifest's per-block distinct-source zone map
+    * (`src_list`, recorded during assembly), then an exact row filter on
+    * the decoded slice. Sources are low-cardinality provenance labels and
+    * range partitioning is on doc_id, so a single source typically touches
+    * a minority of blocks only when ingestion batches correlate with
+    * source — exactly the case zone maps exist for. Blocks whose list
+    * overflowed the cap carry null and are kept (never wrongly pruned).
+    */
+  def decodeWhere(
+      spark: SparkSession, tableDir: String, sources: Seq[String]): Dataset[TokenRow] = {
+    require(sources.nonEmpty, "decodeWhere needs at least one source value")
+    val wanted = array(sources.map(lit): _*)
+    val hit = readManifest(spark, tableDir)
+      .where(col("src_list").isNull || arrays_overlap(col("src_list"), wanted))
+      .select(col("ver").cast("int").as("ver"),
+        col("block_id").cast("int").as("block_id"))
+    decodeBlocks(spark, tableDir, hit)
+      .where(col("source").isin(sources.map(s => s: Any): _*))
+  }
+
+  /** Block ids [[decodeWhere]] would read — PlanSpec asserts pruning. */
+  private[table] def blocksForSources(
+      spark: SparkSession, tableDir: String, sources: Seq[String]): Long =
+    readManifest(spark, tableDir)
+      .where(col("src_list").isNull ||
+        arrays_overlap(col("src_list"), array(sources.map(lit): _*)))
+      .count()
 
   private def decodeBlocks(
       spark: SparkSession, tableDir: String,
@@ -815,7 +882,7 @@ object GraftTable {
     val statsJson = s.stats.map { case (k, v) => s"${js(k)}: ${js(v)}" }
       .mkString("{", ", ", "}")
     s"""{
-       |  "format": "graft-table/2",
+       |  "format": "graft-table/3",
        |  "version": ${s.version},
        |  "snapshot_id": ${js(s.snapshotId)},
        |  "parent_id": ${s.parentId.map(js).getOrElse("null")},
@@ -874,12 +941,20 @@ object GraftTable {
     * the snapshot-isolation contract the rest of the metadata tree
     * assumes (data/manifest dirs are immutable once the pointer moves).
     */
-  private def commitPointer(spark: SparkSession, tableDir: String, ver: Int): Unit = {
-    val tmp = s"$tableDir/metadata/current.tmp"
-    writeString(spark, tmp, ver.toString)
+  private def commitPointer(spark: SparkSession, tableDir: String, ver: Int): Unit =
+    writeStringAtomic(spark, s"$tableDir/metadata/current", ver.toString)
+
+  /** Tmp-then-rename write: concurrent readers observe either the previous
+    * content or the new one, never an empty/partial file. Used for every
+    * mutable metadata file (snapshot pointer, catalog).
+    */
+  private[table] def writeStringAtomic(
+      spark: SparkSession, path: String, content: String): Unit = {
+    val tmp = s"$path.tmp"
+    writeString(spark, tmp, content)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      new Path(tableDir).toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(new Path(tmp), new Path(s"$tableDir/metadata/current"),
+      new Path(path).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(new Path(tmp), new Path(path),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     ()
   }

@@ -105,6 +105,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(GraftTable.decode(spark, dir).count() == 200)
   }
 
+  test("batchId watermark survives interleaved compaction (replay still skipped)") {
+    // a compact()/manual write between a table commit and the streaming
+    // checkpoint commit used to produce a snapshot WITHOUT stream_batch_id,
+    // after which the replayed batch re-appended duplicates (ADVICE r2)
+    val dir = Files.createTempDirectory("graft-replay-compact").toString
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    val b0 = source.where(col("doc_id").cast("long") < 100).toDF()
+    val b1 = source.where(col("doc_id").cast("long").between(100, 199)).toDF()
+    assert(StreamingEncode.applyBatch(b0, 0L, dir, opts))
+    assert(StreamingEncode.applyBatch(b1, 1L, dir, opts))
+    // interleaved maintenance commits: compaction + a manual append
+    GraftTable.compact(spark, dir, opts)
+    GraftTable.append(
+      source.where(col("doc_id").cast("long").between(200, 249)).toDF(), dir, opts)
+    val snap = GraftTable.currentSnapshot(spark, dir).get
+    assert(snap.stats.toMap.get("stream_batch_id").contains("1"),
+      s"batchId watermark lost: ${snap.stats}")
+    // the replayed batches are still recognized as applied
+    assert(!StreamingEncode.applyBatch(b0, 0L, dir, opts), "replay 0 not skipped")
+    assert(!StreamingEncode.applyBatch(b1, 1L, dir, opts), "replay 1 not skipped")
+    assert(GraftTable.decode(spark, dir).count() == 250)
+  }
+
   test("watermarked windowed token counts close windows in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Int)]

@@ -363,6 +363,52 @@ class TableSpec extends AnyFunSuite {
     assert(got.sameElements(want), s"decodeRange lost rows: ${got.mkString(",")}")
   }
 
+  test("resume-confirm is multiplicity-sensitive (even-count changes re-encode)") {
+    import spark.implicits._
+    // two copies of the SAME row: the row-hash XOR over the table is 0, so
+    // replacing both rows with two copies of a DIFFERENT row (same doc_id /
+    // n_tok / source, same token min & max, permutation-closed) also xors
+    // to 0 — the xor check alone would serve the stale table (ADVICE r2);
+    // the wrapping row-hash SUM differs and must force a re-encode
+    val orig = Seq(
+      TokenRow("1", Array(1, 5, 5), 3, "s"),
+      TokenRow("1", Array(1, 5, 5), 3, "s")).toDF()
+    val changed = Seq(
+      TokenRow("1", Array(5, 1, 1), 3, "s"),
+      TokenRow("1", Array(5, 1, 1), 3, "s")).toDF()
+    val dir = tmpDir("multiset")
+    val r1 = GraftTable.encode(orig, dir)
+    val r2 = GraftTable.encode(changed, dir)
+    assert(r2.version == r1.version + 1,
+      "stale table served: xor-cancelling token change not detected")
+    val dec = GraftTable.decode(spark, dir).collect().map(_.tokens.toSeq)
+    assert(dec.forall(_ == Seq(5, 1, 1)))
+  }
+
+  test("decodeWhere prunes on the manifest src_list and filters exactly") {
+    import spark.implicits._
+    // sources correlated with doc_id ranges → most blocks carry one source
+    val rows = (0 until 1000).map(i =>
+      TokenRow(i.toString, Array(i % 31, (i + 7) % 31), 2, s"src${i / 250}"))
+    val dir = tmpDir("srczone")
+    val res = GraftTable.encode(rows.toDF(), dir,
+      GraftTable.Options(targetRowsPerBlock = 64))
+    assert(res.complete)
+    val got = GraftTable.decodeWhere(spark, dir, Seq("src2"))
+      .collect().map(r => (r.doc_id, r.tokens.toSeq, r.source)).sortBy(_._1.toLong)
+    val want = rows.filter(_.source == "src2")
+      .map(r => (r.doc_id, r.tokens.toSeq, r.source)).sortBy(_._1.toLong)
+    assert(got.sameElements(want))
+    // zone-map pruning is real: src2 occupies ~1/4 of the key space, so
+    // the touched block count must be well below the total
+    val touched = GraftTable.blocksForSources(spark, dir, Seq("src2"))
+    assert(touched < res.numBlocks / 2,
+      s"no pruning: $touched of ${res.numBlocks} blocks")
+    // multi-source select works too
+    val two = GraftTable.decodeWhere(spark, dir, Seq("src0", "src3")).count()
+    assert(two == rows.count(r => r.source == "src0" || r.source == "src3"))
+  }
+
   test("input change invalidates resume (fingerprint mismatch → fresh encode)") {
     val dir = tmpDir("fp")
     val opts = GraftTable.Options(targetRowsPerBlock = 128)
