@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{graft_decode, graft_encode}
 import graft.ops.{Dedup, Ivf, Similarity, TextAnalysis}
-import graft.table.{GraftTable, Tokenize}
+import graft.table.{GenericTable, GraftTable, Tokenize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,6 +40,18 @@ object SparkEntry {
       GraftTable.encode(
         Tokenize.tokenTable(spark, sfDir).toDF(), dir,
         GraftTable.Options(targetRowsPerBlock = 128))
+      dir
+    })
+
+  /** Generic (any-schema) twin of [[encodedTableDir]]: documents.parquet
+    * encoded AS-IS (all five columns) through the generic lane.
+    */
+  private def genericTableDir(spark: SparkSession, sfDir: String): String =
+    tableDirCache.getOrElseUpdate((spark.sparkContext.applicationId, s"g:$sfDir"), {
+      val dir = "/tmp/graft-tables/g1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      GenericTable.encode(
+        spark.read.parquet(s"$sfDir/documents.parquet"), dir,
+        opts = GraftTable.Options(targetRowsPerBlock = 128))
       dir
     })
 
@@ -96,6 +108,21 @@ object SparkEntry {
           sum(col("n_tok").cast("long")).as("tokens"),
           sum(Tokenize.checksumCol(col("tokens"))).as("checksum_sum"))
         .orderBy("source")
+    }),
+
+    // R3/R4 any-schema tables: documents.parquet (5 columns incl. lang and
+    // n_chars — a schema the token lane would reject) encoded AS-IS through
+    // the generic lane, decoded, and compared per-row via md5 of the
+    // decoded text — bit-identical round-trip of an arbitrary schema
+    "q_roundtrip_generic" -> ((s, dir) => {
+      val tdir = genericTableDir(s, dir)
+      GenericTable.decode(s, tdir)
+        .select(
+          col("doc_id").cast("long").as("doc_id"),
+          col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          md5(encode(col("text"), "UTF-8")).as("text_md5"))
+        .orderBy("doc_id")
     }),
 
     // E11 verify as a query: decoded ⋈ source equi-join, mismatches must
@@ -473,6 +500,13 @@ object SparkEntry {
         |FROM per_doc
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "q_roundtrip_generic" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+        |       CAST(n_chars AS BIGINT) AS n_chars,
+        |       md5(text) AS text_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q_verify_mismatch" ->
       """SELECT CAST(count(*) AS BIGINT) AS docs,

@@ -72,13 +72,11 @@ object GraftRuntime {
 
   def encodeStrAuto(a: ArrayData): Array[Byte] = StrBlocks.encodeAuto(toStrings(a))
 
-  /** Codec family name from a self-describing payload's leading id byte. */
-  def codecName(bytes: Array[Byte]): UTF8String = {
-    val id = bytes(0) & 0xFF
-    val name = IntBlocks.names.get(id).orElse(StrBlocks.names.get(id))
-      .getOrElse(throw new IllegalArgumentException(s"unknown codec id $id"))
-    UTF8String.fromString(name)
-  }
+  /** Codec family name from a self-describing payload's leading id byte
+    * (wrappers render as `nullable+inner` / `arr+values` — PrimBlocks).
+    */
+  def codecName(bytes: Array[Byte]): UTF8String =
+    UTF8String.fromString(graft.codec.PrimBlocks.codecName(bytes))
 
   /** sha256 hex of the payload's dictionary / symbol-table section
     * (BASELINE.json:6 manifest requirement).

@@ -69,6 +69,13 @@ object functions {
   def graft_decode_str(c: Column): Column =
     GraftSql.column(expr.GraftDecodeStr(GraftSql.expression(c)))
 
+  /** Decode a generic-table column payload to `array<storageType(kind)>`
+    * (kinds: int, long, string, f64, f32, bin, arr_int, arr_long, arr_str,
+    * arr_f32, arr_f64 — see graft.table.AnyColumn).
+    */
+  def graft_decode_any(c: Column, kind: String): Column =
+    GraftSql.column(expr.GraftDecodeAny(GraftSql.expression(c), kind))
+
   /** Rebuild per-row arrays from a flat decoded stream + per-row lengths. */
   def graft_reslice(flat: Column, lengths: Column): Column =
     GraftSql.column(expr.GraftReslice(GraftSql.expression(flat), GraftSql.expression(lengths)))

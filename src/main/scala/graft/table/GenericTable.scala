@@ -1,0 +1,444 @@
+package graft.table
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, GraftSql, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.codec.Hashing
+import graft.expr.GraftDecodeAny
+import graft.functions.{graft_codec, graft_range_bucket}
+import graft.table.GraftTable.{EncodeResult, Options, Snapshot}
+
+/** Any-schema encoded table (SURVEY.md §2.1 R3/R4 — the ebenezer
+  * any-thrift-struct capability): encode an ARBITRARY DataFrame into the
+  * same Iceberg-shaped snapshot/manifest layout the token table uses, one
+  * codec payload per leaf column per block, bit-identical on decode.
+  *
+  * Schema handling mirrors Parquet/thrift shredding: nested structs flatten
+  * into dotted leaf paths (a nullable struct adds a presence leaf `x.__p`,
+  * the definition-level analogue), scalar types normalize onto nine storage
+  * kinds (byte/short/bool→int, date→unix_date int, timestamp→unix_micros
+  * long — restored to the original type on decode), and every leaf payload
+  * auto-selects among the engine's codec families (IntBlocks / LongBlocks /
+  * StrBlocks / PrimBlocks, NULLABLE-wrapped when the slice has nulls).
+  * Unsupported shapes (maps, arrays of structs/arrays, decimals) fail loud
+  * at plan time, never silently drop.
+  *
+  * Shares the token table's scale machinery: hash-strided sampled range
+  * bounds ([[GraftTable.computeBounds]] — distributed, layout-independent),
+  * broadcast bucket probe, one explicit hash exchange + Tungsten
+  * sortWithinPartitions + a streaming one-block-at-a-time assembler, resume
+  * by manifest anti-join. Because the generic row hash covers EVERY leaf
+  * value, the input fingerprint here is value-complete — no separate
+  * resume-confirm scan is needed (the token path keeps the cheap-scalar +
+  * confirm split because hashing 10^12-token arrays on every encode is the
+  * dominant cost there; hashing once per generic row is not).
+  *
+  * The specialized token path ([[GraftTable.encode]]) remains the hot lane
+  * for the benchmark schema (map-side FOR packing of the token stream,
+  * typed BlockInput); this is the general lane.
+  */
+object GenericTable {
+
+  /** One codec leaf of the flattened schema. */
+  final case class Leaf(name: String, kind: String, enc: Column)
+
+  private def quoted(n: String) = s"`${n.replace("`", "``")}`"
+
+  /** (top-level field, its codec leaves), in schema order. */
+  private[table] def planOf(schema: StructType): Seq[(StructField, Seq[Leaf])] = {
+    require(schema.fields.nonEmpty, "cannot encode a zero-column schema")
+    schema.fields.toIndexedSeq.map { f =>
+      require(!f.name.startsWith("_graft"),
+        s"column ${f.name}: the _graft prefix is reserved")
+      f -> fieldLeaves(f.name, col(quoted(f.name)), f.dataType, f.nullable)
+    }
+  }
+
+  private def fieldLeaves(
+      path: String, c: Column, dt: DataType, nullable: Boolean): Seq[Leaf] = dt match {
+    case IntegerType => Seq(Leaf(path, "int", c))
+    case ByteType | ShortType | BooleanType => Seq(Leaf(path, "int", c.cast(IntegerType)))
+    case LongType => Seq(Leaf(path, "long", c))
+    case DateType => Seq(Leaf(path, "int", unix_date(c)))
+    case TimestampType => Seq(Leaf(path, "long", unix_micros(c)))
+    case StringType => Seq(Leaf(path, "string", c))
+    case DoubleType => Seq(Leaf(path, "f64", c))
+    case FloatType => Seq(Leaf(path, "f32", c))
+    case BinaryType => Seq(Leaf(path, "bin", c))
+    case ArrayType(IntegerType, _) => Seq(Leaf(path, "arr_int", c))
+    case ArrayType(ByteType | ShortType | BooleanType, _) =>
+      Seq(Leaf(path, "arr_int", c.cast(ArrayType(IntegerType))))
+    case ArrayType(LongType, _) => Seq(Leaf(path, "arr_long", c))
+    case ArrayType(StringType, _) => Seq(Leaf(path, "arr_str", c))
+    case ArrayType(FloatType, _) => Seq(Leaf(path, "arr_f32", c))
+    case ArrayType(DoubleType, _) => Seq(Leaf(path, "arr_f64", c))
+    case st: StructType =>
+      // shredding: leaves of a struct read null whenever the struct is
+      // null; the presence leaf disambiguates null-struct from
+      // struct-of-nulls on decode (parquet definition levels, in spirit)
+      val presence =
+        if (nullable) Seq(Leaf(s"$path.__p", "int",
+          when(c.isNull, lit(0)).otherwise(lit(1))))
+        else Nil
+      presence ++ st.fields.toIndexedSeq.flatMap(f =>
+        fieldLeaves(s"$path.${f.name}", c.getField(f.name), f.dataType, nullable = true))
+    case other => throw new UnsupportedOperationException(
+      s"column $path: type ${other.catalogString} is not supported by the generic " +
+        "encoder (supported: integral/bool/date/timestamp/string/float/double/" +
+        "binary, arrays of int/long/float/double/string, nested structs)")
+  }
+
+  /** Rebuild the original column from decoded storage leaves. */
+  private def restore(
+      path: String, dt: DataType, nullable: Boolean, get: String => Column): Column =
+    dt match {
+      case IntegerType | LongType | StringType | DoubleType | FloatType |
+           BinaryType => get(path)
+      case ByteType | ShortType | BooleanType => get(path).cast(dt)
+      case DateType => date_from_unix_date(get(path))
+      case TimestampType => timestamp_micros(get(path))
+      case ArrayType(ByteType | ShortType | BooleanType, _) => get(path).cast(dt)
+      case _: ArrayType => get(path).cast(dt) // realign containsNull flags
+      case st: StructType =>
+        val body = struct(st.fields.toIndexedSeq.map(f =>
+          restore(s"$path.${f.name}", f.dataType, nullable = true, get).as(f.name)): _*)
+        if (nullable) when(get(s"$path.__p") === 1, body) else body
+      case other => throw new UnsupportedOperationException(other.catalogString)
+    }
+
+  /** Range/sort key: numeric-ish keys order natively, anything else gets a
+    * deterministic 64-bit hash (blocking stays valid; range pruning
+    * degrades gracefully) — never null (xxhash64 of null is the seed).
+    */
+  private def keyExprOf(name: String, dt: DataType): Column = {
+    val c = col(quoted(name))
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        coalesce(c.cast(LongType), xxhash64(c))
+      case StringType =>
+        coalesce(expr(s"try_cast(${quoted(name)} as bigint)"), xxhash64(c))
+      case DateType => coalesce(unix_date(c).cast(LongType), xxhash64(c))
+      case TimestampType => coalesce(unix_micros(c), xxhash64(c))
+      case _ => xxhash64(c)
+    }
+  }
+
+  private val SchemaKey = "generic_schema"
+  private val KeyKey = "generic_key"
+
+  // ------------------------------------------------------------- encode
+
+  /** Encode any supported DataFrame as an encoded table at `tableDir`.
+    * `keyCol` picks the range-partition key (default: `doc_id` when
+    * present, else the first column). Idempotent: an unchanged input
+    * resumes as a no-op; a changed input commits a fresh version.
+    */
+  def encode(
+      df: DataFrame,
+      tableDir: String,
+      keyCol: String = "",
+      opts: Options = Options()): EncodeResult = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val plan = planOf(schema)
+    val leaves = plan.flatMap(_._2)
+    val key =
+      if (keyCol.nonEmpty) keyCol
+      else if (schema.fieldNames.contains("doc_id")) "doc_id"
+      else schema.fieldNames.head
+    require(schema.fieldNames.contains(key), s"key column $key not in schema")
+
+    // storage frame: normalized leaves + range key + full-row value hash
+    // (over the storage leaves, in plan order — the resume identity)
+    val keyed = df
+      .select(leaves.map(l => l.enc.as(l.name)) :+
+        keyExprOf(key, schema(key).dataType).as("_graft_key"): _*)
+      .withColumn("_graft_rh", xxhash64(leaves.map(l => col(quoted(l.name))): _*))
+
+    val st = keyed.agg(
+      count(lit(1)).as("rows"),
+      expr("bit_xor(_graft_rh)").as("x"),
+      expr("sum(cast(_graft_rh as decimal(38,0)))").as("s")).head()
+    val rows = st.getLong(0)
+    val xor = if (st.isNullAt(1)) 0L else st.getLong(1)
+    val sumMod =
+      if (st.isNullAt(2)) java.math.BigInteger.ZERO else GraftTable.mod64(st.getDecimal(2))
+    // value-complete fingerprint: every leaf value of every row is pinned
+    // (xor + multiplicity-sensitive wrapping sum + count + schema + key)
+    val fingerprint = Hashing.sha256Hex(
+      s"generic;rows=$rows;xor=$xor;sum=$sumMod;key=$key;schema=${schema.json}")
+
+    val cur = GraftTable.currentSnapshot(spark, tableDir)
+    val parent = cur.filter(_.inputFingerprint == fingerprint)
+    parent.filter(p => p.complete && opts.blockFilter.isEmpty).foreach { p =>
+      return EncodeResult(p.version, p.snapshotId, p.numBlocks, 0L,
+        p.blocksEncoded, p.rowCount, p.tokenCount, p.bytesTotal, p.plainBytes,
+        p.contentSig, complete = true)
+    }
+    val ver = cur.map(_.version).getOrElse(0) + 1
+    val statsFields = Seq(
+      "rows" -> rows.toString, SchemaKey -> schema.json, KeyKey -> key,
+      "generic_leaves" -> leaves.map(l => s"${l.kind}:${l.name}").mkString(""))
+
+    if (rows == 0L) {
+      val snapshotId = Hashing.sha256Hex(s"v$ver;generic;fp=$fingerprint;empty")
+      val snap = Snapshot(ver, snapshotId, cur.map(_.snapshotId), fingerprint,
+        s"generic:$key", None, numBlocks = 0, blocksEncoded = 0L,
+        complete = true, rowCount = 0L, tokenCount = 0L, bytesTotal = 0L,
+        plainBytes = 0L, contentSig = "0" * 16, dataDirs = Nil,
+        manifestDirs = Nil, stats = statsFields.sorted,
+        committedAt = java.time.Instant.now().toString)
+      GraftTable.writeString(
+        spark, s"$tableDir/metadata/v$ver.json", GraftTable.renderSnapshot(snap))
+      GraftTable.commitPointer(spark, tableDir, ver)
+      return EncodeResult(ver, snapshotId, 0, 0L, 0L, 0L, 0L, 0L, 0L,
+        snap.contentSig, complete = true)
+    }
+
+    val (bounds, boundsDir): (Array[Long], Option[String]) = parent match {
+      case Some(p) => (GraftTable.loadBounds(spark, tableDir, p), p.boundsDir)
+      case None =>
+        val b = GraftTable.computeBounds(
+          keyed, rows, opts.targetRowsPerBlock, opts.sampleRows)
+        if (b.isEmpty) (b, None)
+        else {
+          val dir = s"metadata/bounds/v$ver"
+          GraftTable.writeBounds(spark, s"$tableDir/$dir", b)
+          (b, Some(dir))
+        }
+    }
+    val numBlocks = bounds.length + 1
+    val bcBounds = spark.sparkContext.broadcast(bounds)
+    val withBlocks = keyed.withColumn(
+      "block_id", graft_range_bucket(col("_graft_key"), bcBounds))
+
+    val notDone = parent match {
+      case Some(p) =>
+        val done = GraftTable.readManifest(spark, tableDir, p)
+          .select(col("block_id").cast("int").as("block_id")).distinct()
+        withBlocks.join(done, Seq("block_id"), "left_anti")
+      case None => withBlocks
+    }
+    val todo = opts.blockFilter match {
+      case Some(f) =>
+        val allowed = (0 until numBlocks).filter(f)
+        notDone.filter(col("block_id").isin(allowed.map(Int.box): _*))
+      case None => notDone
+    }
+
+    val parallelism = spark.sparkContext.defaultParallelism
+    val encodeParts = GraftTable.encodePartitions(
+      numBlocks, parallelism, rows * leaves.length) // ~1 cell ≈ 1 token proxy
+    val kinds = leaves.map(_.kind).toArray
+    val outSchema = StructType(IndexedSeq(
+      StructField("block_id", IntegerType, nullable = false),
+      StructField("ver", IntegerType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("key_min", LongType, nullable = false),
+      StructField("key_max", LongType, nullable = false),
+      StructField("plain_bytes", LongType, nullable = false),
+      StructField("row_xor", LongType, nullable = false),
+      StructField("row_sum", LongType, nullable = false)) ++
+      leaves.indices.map(i => StructField(s"pl_$i", BinaryType, nullable = false)))
+
+    val blocks = todo
+      .select(Seq(col("block_id"), col("_graft_key").as("k"),
+        col("_graft_rh").as("rh")) ++ leaves.map(l => col(quoted(l.name))): _*)
+      .repartition(encodeParts, col("block_id"))
+      .sortWithinPartitions(col("block_id"), col("k"), col("rh"))
+      .mapPartitions(it => GenericAssembler.assemble(it, ver, kinds))(Encoders.row(outSchema))
+
+    val dataDir = s"data/v$ver"
+    blocks.write.mode("overwrite").parquet(s"$tableDir/$dataDir")
+    val manifest = manifestOf(spark, s"$tableDir/$dataDir", leaves.length)
+    val newBlocks = manifest.count()
+    if (newBlocks == 0 && parent.nonEmpty) {
+      GraftTable.delete(spark, s"$tableDir/$dataDir")
+      val p = parent.get
+      return EncodeResult(p.version, p.snapshotId, p.numBlocks, 0L,
+        p.blocksEncoded, p.rowCount, p.tokenCount, p.bytesTotal, p.plainBytes,
+        p.contentSig, p.complete)
+    }
+    val manifestDir = s"manifests/v$ver"
+    manifest.write.mode("overwrite").json(s"$tableDir/$manifestDir")
+
+    val manifestDirs = parent.map(_.manifestDirs).getOrElse(Nil) :+ manifestDir
+    val dataDirs = parent.map(_.dataDirs).getOrElse(Nil) :+ dataDir
+    val all = spark.read.json(manifestDirs.map(d => s"$tableDir/$d"): _*)
+    val tot = all.agg(
+      count(lit(1)).as("blocks"),
+      sum("row_count").as("rows"),
+      sum("bytes_total").as("bytes"),
+      sum("plain_bytes").as("plain"),
+      expr("bit_xor(block_sig)").as("sig")).head()
+
+    val blocksDone = tot.getLong(0)
+    val contentSig = f"${tot.getLong(4)}%016x"
+    val complete = blocksDone == numBlocks
+    val snapshotId = Hashing.sha256Hex(
+      s"v$ver;generic;parent=${parent.map(_.snapshotId).getOrElse("none")};" +
+        s"fp=$fingerprint;bounds=${GraftTable.boundsSig(bounds)};" +
+        s"blocks=$blocksDone/$numBlocks;rows=${tot.getLong(1)};" +
+        s"bytes=${tot.getLong(2)};sig=$contentSig")
+    val snap = Snapshot(ver, snapshotId, cur.map(_.snapshotId), fingerprint,
+      s"generic:$key", boundsDir, numBlocks, blocksDone, complete,
+      tot.getLong(1), tokenCount = 0L, tot.getLong(2), tot.getLong(3),
+      contentSig, dataDirs, manifestDirs, statsFields.sorted,
+      java.time.Instant.now().toString)
+    GraftTable.writeString(
+      spark, s"$tableDir/metadata/v$ver.json", GraftTable.renderSnapshot(snap))
+    GraftTable.commitPointer(spark, tableDir, ver)
+    EncodeResult(ver, snapshotId, numBlocks, newBlocks, blocksDone,
+      tot.getLong(1), 0L, tot.getLong(2), tot.getLong(3), contentSig, complete)
+  }
+
+  /** Manifest from the WRITTEN data files: per-leaf codec evidence + sizes
+    * (leaf index ↔ name mapping lives in the snapshot's generic_leaves).
+    */
+  private def manifestOf(spark: SparkSession, dataPath: String, nLeaves: Int): DataFrame = {
+    val pls = (0 until nLeaves).map(i => col(s"pl_$i"))
+    spark.read.parquet(dataPath).select(
+      Seq(col("block_id"), col("ver"), col("row_count"),
+        col("key_min"), col("key_max"), col("plain_bytes"),
+        col("row_xor"), col("row_sum")) ++
+        (0 until nLeaves).flatMap(i => Seq(
+          graft_codec(col(s"pl_$i")).as(s"codec_$i"),
+          octet_length(col(s"pl_$i")).cast("long").as(s"bytes_$i"))) ++
+        Seq(
+          pls.map(octet_length(_).cast("long")).reduce(_ + _).as("bytes_total"),
+          xxhash64(col("block_id") +: pls: _*).as("block_sig")): _*)
+  }
+
+  // -------------------------------------------------------------- decode
+
+  private def snapshotPlan(snap: Snapshot): (StructType, Seq[(StructField, Seq[Leaf])]) = {
+    val stats = snap.stats.toMap
+    val schemaJson = stats.getOrElse(SchemaKey, throw new IllegalStateException(
+      "not a generic table: snapshot has no generic_schema (token tables " +
+        "decode via GraftTable.decode)"))
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    (schema, planOf(schema))
+  }
+
+  /** Decode the current snapshot back to the original schema, bit-identical
+    * per row (order not guaranteed, as with any distributed scan).
+    */
+  def decode(spark: SparkSession, tableDir: String): DataFrame = {
+    val snap = GraftTable.currentSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+    val (schema, plan) = snapshotPlan(snap)
+    decodeFields(spark, tableDir, snap, plan, schema.fieldNames.toIndexedSeq)
+  }
+
+  /** Column-pruned decode: only `columns` (top-level names) are
+    * reconstructed, and the scan reads ONLY their leaf payloads.
+    */
+  def decodeSelect(
+      spark: SparkSession, tableDir: String, columns: Seq[String]): DataFrame = {
+    val snap = GraftTable.currentSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+    val (schema, plan) = snapshotPlan(snap)
+    require(columns.nonEmpty && columns.forall(schema.fieldNames.contains),
+      s"decodeSelect columns must be among ${schema.fieldNames.mkString(", ")}")
+    decodeFields(spark, tableDir, snap, plan,
+      schema.fieldNames.filter(columns.contains).toIndexedSeq)
+  }
+
+  private def decodeFields(
+      spark: SparkSession,
+      tableDir: String,
+      snap: Snapshot,
+      plan: Seq[(StructField, Seq[Leaf])],
+      fieldNames: IndexedSeq[String]): DataFrame = {
+    val allLeaves = plan.flatMap(_._2)
+    val leafIdx = allLeaves.map(_.name).zipWithIndex.toMap
+    val wanted = plan.filter(p => fieldNames.contains(p._1.name))
+    val wantedLeaves = wanted.flatMap(_._2)
+    if (snap.dataDirs.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](),
+        StructType(wanted.map(_._1).toIndexedSeq))
+    val blocksDf = spark.read.parquet(snap.dataDirs.map(d => s"$tableDir/$d"): _*)
+    val zipped = wantedLeaves.map { l =>
+      val i = leafIdx(l.name)
+      GraftSql.column(GraftDecodeAny(
+        GraftSql.expression(col(s"pl_$i")), l.kind)).as(s"c$i")
+    }
+    val exploded = blocksDf.select(explode(arrays_zip(zipped: _*)).as("r"))
+    def get(name: String): Column = col("r").getField(s"c${leafIdx(name)}")
+    exploded.select(wanted.map { case (f, _) =>
+      restore(f.name, f.dataType, f.nullable, get).as(f.name)
+    }: _*)
+  }
+
+  /** Per-(column, codec) selection evidence, the generic `describe`. */
+  def describe(spark: SparkSession, tableDir: String): DataFrame = {
+    val snap = GraftTable.currentSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+    val (_, plan) = snapshotPlan(snap)
+    val leaves = plan.flatMap(_._2)
+    val man = GraftTable.readManifest(spark, tableDir, snap)
+    leaves.zipWithIndex.map { case (l, i) =>
+      man.groupBy(col(s"codec_$i").as("codec"))
+        .agg(count(lit(1)).as("blocks"), sum(col(s"bytes_$i")).as("bytes"))
+        .select(lit(l.name).as("column"), col("codec"), col("blocks"), col("bytes"))
+    }.reduce(_ unionAll _)
+  }
+}
+
+/** Streaming per-partition assembler for the generic table: rows arrive
+  * sorted by (block_id, key, rowhash); exactly one block's column slices
+  * are buffered at a time — O(targetRowsPerBlock · leaves) task memory,
+  * independent of partition size (same discipline as [[BlockAssembler]]).
+  * Input row layout: (block_id, k, rh, leaf0, leaf1, ...).
+  */
+object GenericAssembler {
+
+  def assemble(it: Iterator[Row], ver: Int, kinds: Array[String]): Iterator[Row] =
+    new Iterator[Row] {
+      private val in = it.buffered
+      private val nLeaves = kinds.length
+
+      override def hasNext: Boolean = in.hasNext
+
+      override def next(): Row = {
+        val blockId = in.head.getInt(0)
+        val bufs = Array.fill(nLeaves)(new ArrayBuffer[Any])
+        var rowCount = 0L
+        var keyMin = Long.MaxValue
+        var keyMax = Long.MinValue
+        var plainBytes = 0L
+        var rowXor = 0L
+        var rowSum = 0L
+        while (in.hasNext && in.head.getInt(0) == blockId) {
+          val r = in.next()
+          val k = r.getLong(1)
+          if (k < keyMin) keyMin = k
+          if (k > keyMax) keyMax = k
+          val h = r.getLong(2)
+          rowXor ^= h
+          rowSum += h
+          var i = 0
+          while (i < nLeaves) {
+            val v = r.get(3 + i)
+            bufs(i) += v
+            plainBytes += AnyColumn.plainBytesOf(kinds(i), v)
+            i += 1
+          }
+          rowCount += 1L
+        }
+        val payloads = new Array[Any](nLeaves)
+        var i = 0
+        while (i < nLeaves) {
+          payloads(i) = AnyColumn.encodeColumn(kinds(i), bufs(i))
+          i += 1
+        }
+        Row.fromSeq(IndexedSeq[Any](
+          blockId, ver, rowCount, keyMin, keyMax, plainBytes, rowXor, rowSum) ++
+          payloads)
+      }
+    }
+}

@@ -355,7 +355,7 @@ object GraftTable {
     * broadcast-probe design; a two-level bounds tree would shrink it but
     * costs an extra probe per row.
     */
-  private def computeBounds(
+  private[table] def computeBounds(
       keyed: DataFrame, rows: Long, targetRows: Int, sampleRows: Long): Array[Long] = {
     val numBlocks = math.max(1L, (rows + targetRows - 1) / targetRows.toLong)
     if (numBlocks <= 1) return Array.empty
@@ -407,14 +407,14 @@ object GraftTable {
     "xxhash64(cast(doc_id as string), cast(n_tok as int), " +
       "cast(source as string), tokens)"
 
-  private val Mod64 = java.math.BigInteger.ONE.shiftLeft(64)
+  private[table] val Mod64 = java.math.BigInteger.ONE.shiftLeft(64)
 
   /** Wrapping (mod 2^64) value of an exact decimal(38,0) sum, aligned with
     * the JVM side's wrapping `Long` accumulation. Spark 4 runs ANSI mode by
     * default, so a plain `sum(bigint)` would throw on overflow — the sum is
     * taken exactly in decimal and reduced here.
     */
-  private def mod64(d: java.math.BigDecimal): java.math.BigInteger =
+  private[table] def mod64(d: java.math.BigDecimal): java.math.BigInteger =
     d.toBigInteger.mod(Mod64)
 
   /** Confirm a resume candidate by VALUE: the xor AND the wrapping mod-2^64
@@ -463,13 +463,13 @@ object GraftTable {
   }
 
   /** Bounds file IO: one bigint column `k`, sorted on load. */
-  private def writeBounds(spark: SparkSession, path: String, bounds: Array[Long]): Unit = {
+  private[table] def writeBounds(spark: SparkSession, path: String, bounds: Array[Long]): Unit = {
     import spark.implicits._
     spark.createDataset(bounds.toIndexedSeq).toDF("k")
       .write.mode("overwrite").parquet(path)
   }
 
-  private def loadBounds(spark: SparkSession, tableDir: String, snap: Snapshot): Array[Long] =
+  private[table] def loadBounds(spark: SparkSession, tableDir: String, snap: Snapshot): Array[Long] =
     snap.boundsDir match {
       case None => Array.empty
       case Some(d) =>
@@ -480,7 +480,7 @@ object GraftTable {
     * streaming digest, never a materialized mkString (15M bounds would be a
     * ~150 MB string).
     */
-  private def boundsSig(bounds: Array[Long]): String = {
+  private[table] def boundsSig(bounds: Array[Long]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val bb = java.nio.ByteBuffer.allocate(8)
     bounds.foreach { b => bb.clear(); bb.putLong(b); md.update(bb.array()) }
@@ -874,7 +874,7 @@ object GraftTable {
     }.takeWhile(_.nonEmpty).flatten.toSeq
   }
 
-  private def renderSnapshot(s: Snapshot): String = {
+  private[table] def renderSnapshot(s: Snapshot): String = {
     def js(v: String) = "\"" + v.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -941,7 +941,7 @@ object GraftTable {
     * the snapshot-isolation contract the rest of the metadata tree
     * assumes (data/manifest dirs are immutable once the pointer moves).
     */
-  private def commitPointer(spark: SparkSession, tableDir: String, ver: Int): Unit =
+  private[table] def commitPointer(spark: SparkSession, tableDir: String, ver: Int): Unit =
     writeStringAtomic(spark, s"$tableDir/metadata/current", ver.toString)
 
   /** Tmp-then-rename write: concurrent readers observe either the previous
@@ -982,7 +982,7 @@ object GraftTable {
     }
   }
 
-  private def delete(spark: SparkSession, path: String): Unit = {
+  private[table] def delete(spark: SparkSession, path: String): Unit = {
     val p = new Path(path)
     val fs = hfs(spark, path)
     if (fs.exists(p)) { fs.delete(p, true); () }

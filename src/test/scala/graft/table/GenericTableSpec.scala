@@ -1,0 +1,181 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Any-schema table tests (SURVEY.md §2.1 R3/R4): the generic encode →
+  * decode path must round-trip arbitrary supported schemas bit-identically —
+  * the direct analogue of ebenezer's arbitrary-thrift-struct serde specs,
+  * over real testdata plus adversarial synthetic schemas (nulls, nested
+  * structs, every scalar type, float bit patterns).
+  */
+class GenericTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-gen-$tag").toString
+
+  /** Order-insensitive exact comparison via two-sided except (null-safe). */
+  private def assertSameRows(
+      a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).count() == 0, "decoded rows not in source")
+    assert(b.exceptAll(a).count() == 0, "source rows not in decoded")
+  }
+
+  test("documents.parquet round-trips through the generic table bit-identically") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmpDir("docs")
+    val res = GenericTable.encode(docs, dir, opts = GraftTable.Options(targetRowsPerBlock = 64))
+    assert(res.complete && res.rowCount == 500)
+    assert(res.numBlocks > 1)
+    val dec = GenericTable.decode(spark, dir)
+    assert(dec.schema.fieldNames.toSeq == docs.schema.fieldNames.toSeq)
+    assertSameRows(dec, docs)
+    // extra columns beyond the token 4 are NOT silently dropped: lang and
+    // n_chars survive with values
+    assert(dec.where(col("lang").isNull || col("n_chars").isNull).count() == 0)
+    // compressed below the source parquet footprint would be nice, but the
+    // honest bound is plain bytes; assert both directions that matter
+    assert(res.bytesTotal < res.plainBytes)
+  }
+
+  test("embeddings.parquet (array<float>) round-trips with exact bit patterns") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmpDir("emb")
+    val res = GenericTable.encode(emb, dir, keyCol = "vec_id")
+    assert(res.complete && res.rowCount == emb.count())
+    assertSameRows(GenericTable.decode(spark, dir), emb)
+  }
+
+  test("every supported scalar type + nulls + nested struct round-trips") {
+    // built with expressions (not external Rows) so the fixture is
+    // independent of the session's java8 datetime setting
+    val base = (0 until 300).toDF("k")
+    def maybe(c: org.apache.spark.sql.Column) =
+      when(pmod(col("k"), lit(7)) === 3, lit(null)).otherwise(c)
+    val deepT = "struct<y:string>"
+    val df = base.select(
+      col("k").cast("long").as("id"),
+      maybe(pmod(col("k"), lit(100)).cast("byte")).as("b"),
+      maybe((col("k") * 3).cast("short")).as("s"),
+      maybe(col("k") * 11).as("i"),
+      maybe(col("k").cast("long") * 1000000007L).as("l"),
+      maybe(pmod(col("k"), lit(2)) === 0).as("flag"),
+      maybe(date_add(lit("2020-01-01").cast("date"), col("k"))).as("d"),
+      maybe(timestamp_micros(col("k").cast("long") * 86400000000L + col("k"))).as("ts"),
+      maybe(concat(lit("value-"), col("k"), lit("-é中"))).as("str"),
+      maybe(when(pmod(col("k"), lit(13)) === 0, lit(Double.NaN))
+        .otherwise(col("k") * 0.1)).as("f64"),
+      maybe(when(pmod(col("k"), lit(17)) === 0, lit(Float.NegativeInfinity))
+        .otherwise(col("k").cast("float") * 0.5f)).as("f32"),
+      maybe(encode(concat(lit("raw"), col("k")), "UTF-8")).as("raw"),
+      maybe(slice(transform(sequence(lit(0), lit(3)), j => j * col("k")),
+        lit(1), pmod(col("k"), lit(4)))).as("ai"),
+      maybe(slice(transform(sequence(lit(0), lit(2)), j =>
+        j.cast("long") * col("k") - 5L), lit(1), pmod(col("k"), lit(3)))).as("al"),
+      maybe(slice(transform(sequence(lit(0), lit(2)), j =>
+        concat(lit("s"), col("k"), lit("-"), j)), lit(1), pmod(col("k"), lit(3)))).as("as"),
+      maybe(slice(transform(sequence(lit(0), lit(3)), j =>
+        (j * col("k")).cast("float") / 3.0f), lit(1), pmod(col("k"), lit(4)))).as("af"),
+      // nested: null struct vs struct-of-nulls vs full, all three shapes
+      when(pmod(col("k"), lit(5)) === 0, lit(null))
+        .when(pmod(col("k"), lit(5)) === 1,
+          struct(lit(null).cast("int").as("x"), lit(null).cast(deepT).as("deep")))
+        .otherwise(struct(col("k").as("x"),
+          when(pmod(col("k"), lit(5)) === 2, lit(null).cast(deepT))
+            .otherwise(struct(concat(lit("deep"), col("k")).as("y"))).as("deep")))
+        .as("nested"))
+    val dir = tmpDir("alltypes")
+    val res = GenericTable.encode(df, dir, keyCol = "id",
+      opts = GraftTable.Options(targetRowsPerBlock = 64))
+    assert(res.complete && res.rowCount == 300)
+    val dec = GenericTable.decode(spark, dir)
+    assertSameRows(dec, df)
+    // null-struct vs struct-of-nulls preserved exactly
+    assert(dec.where(col("nested").isNull).count() == df.where(col("nested").isNull).count())
+    assert(dec.where(col("nested").isNotNull && col("nested.x").isNull).count() ==
+      df.where(col("nested").isNotNull && col("nested.x").isNull).count())
+  }
+
+  test("resume: unchanged input no-ops; any value change re-encodes") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmpDir("resume")
+    val r1 = GenericTable.encode(docs, dir)
+    val r2 = GenericTable.encode(docs, dir)
+    assert(r2.blocksEncodedThisRun == 0 && r2.snapshotId == r1.snapshotId)
+    // change ONE value in a non-key column → fresh version
+    val altered = docs.withColumn("lang",
+      when(col("doc_id") === 7, lit("xx")).otherwise(col("lang")))
+    val r3 = GenericTable.encode(altered, dir)
+    assert(r3.version == r1.version + 1)
+    assert(GenericTable.decode(spark, dir)
+      .where(col("doc_id") === 7 && col("lang") === "xx").count() == 1)
+  }
+
+  test("partial resume: blockFilter run completes without re-encoding done blocks") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmpDir("partial")
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    val r1 = GenericTable.encode(docs, dir,
+      opts = opts.copy(blockFilter = Some(_ % 2 == 0)))
+    assert(!r1.complete)
+    val r2 = GenericTable.encode(docs, dir, opts = opts)
+    assert(r2.complete)
+    assert(r2.blocksEncodedThisRun == r2.numBlocks - r1.blocksDone)
+    assertSameRows(GenericTable.decode(spark, dir), docs)
+  }
+
+  test("determinism: independent encodes at different layouts byte-identical") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dirA = tmpDir("detA")
+    val dirB = tmpDir("detB")
+    val a = GenericTable.encode(docs.repartition(1), dirA)
+    val b = GenericTable.encode(docs.repartition(13), dirB)
+    assert(a.contentSig == b.contentSig)
+    assert(a.bytesTotal == b.bytesTotal)
+  }
+
+  test("column-pruned decodeSelect reads only the selected leaf payloads") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmpDir("prune")
+    GenericTable.encode(docs, dir)
+    val dec = GenericTable.decodeSelect(spark, dir, Seq("doc_id", "lang"))
+    assert(dec.schema.fieldNames.toSeq == Seq("doc_id", "lang"))
+    assertSameRows(dec, docs.select("doc_id", "lang"))
+    // the physical scan reads ONLY the two wanted payload columns
+    val read = dec.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    val m = "pl_(\\d+)".r.findAllMatchIn(read).map(_.group(1).toInt).toSet
+    assert(m.size == 2, s"expected 2 payload columns in ReadSchema, got $m")
+  }
+
+  test("describe reports per-leaf codec selection; unsupported types fail loud") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmpDir("describe")
+    GenericTable.encode(docs, dir)
+    val d = GenericTable.describe(spark, dir).collect()
+    val cols = d.map(_.getString(0)).toSet
+    assert(cols == Set("doc_id", "text", "lang", "source", "n_chars"))
+    assert(d.forall(r => r.getAs[Long]("bytes") > 0))
+    // maps are not encodable — loud plan-time error, not silent drop
+    val bad = docs.withColumn("m", map(lit("k"), lit(1)))
+    val e = intercept[UnsupportedOperationException](
+      GenericTable.encode(bad, tmpDir("bad")))
+    assert(e.getMessage.contains("not supported"))
+  }
+
+  test("token schema through the generic lane agrees with the specialized lane") {
+    val tokens = Tokenize.tokenTable(spark, "/root/testdata/sf0.001").toDF()
+    val dirG = tmpDir("lanegen")
+    GenericTable.encode(tokens, dirG, opts = GraftTable.Options(targetRowsPerBlock = 64))
+    assertSameRows(GenericTable.decode(spark, dirG), tokens)
+  }
+}
