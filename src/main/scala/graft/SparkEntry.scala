@@ -199,13 +199,22 @@ object SparkEntry {
           length(col("doc_b")), col("doc_b"))
     }),
 
-    // SimHash near-dup pairs (engine-defined sketch → rows-only check)
+    // SimHash near-dup pairs, hash-checked: at maxHamming = 0 a pair means
+    // sketch EQUALITY, and identical texts always sketch-collide, so on a
+    // corpus slice with no accidental sketch collisions the output is
+    // exactly the identical-text pair set — which DuckDB recomputes without
+    // knowing the sketch. The full corpus at sf0.01 has two genuine
+    // near-dup collisions (166/323, 435/486 — correct SimHash behaviour,
+    // but engine-defined); the doc_id < 250 slice excludes both (restricting
+    // the corpus can only REMOVE sketch-equality pairs, never add), so the
+    // oracle equality is exact. Full-corpus + hamming>0 behaviour is
+    // spec-covered (OpsSpec).
     "q_dedup_simhash" -> ((s, dir) => {
+      val half = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 250)
       Dedup.simHash(
-        s.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id").cast("string"), col("text"))
-          .unionAll(s.read.parquet(s"$dir/documents.parquet")
-            .where(col("doc_id") < 3)
+        half.select(col("doc_id").cast("string"), col("text"))
+          .unionAll(half.where(col("doc_id") < 3)
             .select(concat(lit("9"), col("doc_id")).as("doc_id"), col("text"))),
         maxHamming = 0)
         .orderBy("doc_a", "doc_b")
@@ -563,6 +572,21 @@ object SparkEntry {
         |       / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)) >= 0.9
         |ORDER BY length(doc_a), doc_a, length(doc_b), doc_b""".stripMargin,
 
+    "q_dedup_simhash" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+        |  FROM documents WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT '9' || CAST(doc_id AS VARCHAR), text
+        |  FROM documents WHERE doc_id < 3
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(0 AS BIGINT) AS hamming
+        |FROM t a JOIN t b ON a.text = b.text
+        |  AND (length(a.doc_id) < length(b.doc_id)
+        |       OR (length(a.doc_id) = length(b.doc_id) AND a.doc_id < b.doc_id))
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_embed_pairs" ->
       """SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -784,12 +808,24 @@ object SparkEntry {
         |GROUP BY source
         |ORDER BY source""".stripMargin,
 
+    // BMP layout recomputed from first principles: 24-bit rows pad to 4
+    // bytes, so body = ((w*3+3)//4*4)*h — the oracle checks the ENGINE's
+    // header parse against the format spec, not against itself
     "q_media_probe" ->
-      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-        |       CAST(n_chars % 640 + 16 AS BIGINT) AS width,
-        |       CAST(n_chars % 480 + 16 AS BIGINT) AS height,
-        |       CAST(length(text) AS BIGINT) AS body_bytes,
-        |       CAST(ceil(floor((length(text)) / 64) / 2.0) AS BIGINT) AS frames_kept
-        |FROM documents
-        |ORDER BY length(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)""".stripMargin)
+      """WITH dims AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |         n_chars % 32 + 4 AS w,
+        |         n_chars % 24 + 4 AS h
+        |  FROM documents
+        |), sized AS (
+        |  SELECT doc_id, w, h, ((w * 3 + 3) // 4 * 4) * h AS body
+        |  FROM dims
+        |)
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width,
+        |       CAST(h AS BIGINT) AS height,
+        |       CAST(body AS BIGINT) AS body_bytes,
+        |       CAST(ceil((body // 64) / 2.0) AS BIGINT) AS frames_kept
+        |FROM sized
+        |ORDER BY length(doc_id), doc_id""".stripMargin)
 }

@@ -13,8 +13,9 @@ import graft.table.{GraftTable, Tokenize}
   *
   * Scale shape: the quality filter and tokenize are map-only; exact dedup
   * shuffles 32-byte digests; LSH shuffles band buckets (linear); the
-  * near-dup kill list is broadcast (bounded by the number of detected
-  * duplicates, not the corpus); encode is the table's single data shuffle.
+  * near-dup kill removal is a planner-chosen anti join (AQE broadcasts it
+  * when the list fits, shuffles when it doesn't); encode is the table's
+  * single data shuffle.
   */
 object Pipeline {
 
@@ -47,10 +48,15 @@ object Pipeline {
       kept1("doc_id").cast("string") === keep2("doc_id"), "left_semi")
     val afterExact = kept2.count()
 
-    // 3. near-dup removal: drop the higher doc_id of each verified pair
+    // 3. near-dup removal: drop the higher doc_id of each verified pair.
+    // NO broadcast hint on the kill list: it is bounded by the number of
+    // detected near-dup documents, which at a realistic 5–20% dup rate on
+    // a 10^12-row corpus is billions of ids — a forced broadcast OOMs the
+    // driver (VERDICT r2). Left to the planner, AQE broadcasts when the
+    // list actually fits and falls back to a shuffled anti join when not.
     val kill = Dedup.minHashLsh(kept2, threshold = nearDupThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
-    val kept3 = kept2.join(broadcast(kill),
+    val kept3 = kept2.join(kill,
       kept2("doc_id").cast("string") === kill("doc_id"), "left_anti")
     val afterNear = kept3.count()
 

@@ -250,6 +250,25 @@ class OpsSpec extends AnyFunSuite {
     assert(dec.count() == rep.afterNearDedup)
   }
 
+  test("pipeline near-dup removal completes on a SHUFFLE anti join (no broadcast)") {
+    // a 10^12-row corpus can have billions of near-dup ids: the kill list
+    // must not carry a forced broadcast hint (VERDICT r2). Disabling
+    // auto-broadcast forces the planner onto the shuffle path — the
+    // pipeline must still complete with identical results.
+    val planted = docs.select(col("doc_id").cast("string"), col("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pipe-shuffle").toString
+      val rep = Pipeline.cleanAndEncode(planted, dir,
+        opts = graft.table.GraftTable.Options(targetRowsPerBlock = 64))
+      assert(rep.encode.complete)
+      assert(rep.afterNearDedup < rep.afterExactDedup)
+      assert(graft.table.GraftTable.decode(spark, dir).count() == rep.afterNearDedup)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("fingerprint is order-sensitive and stable") {
     val fp = TextAnalysis.fingerprint(docs)
     assert(fp.select(countDistinct("fingerprint")).as[Long].head() > 490)

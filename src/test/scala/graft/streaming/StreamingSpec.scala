@@ -51,7 +51,9 @@ class StreamingSpec extends AnyFunSuite {
     val before = GraftTable.currentSnapshot(spark, dir).get
     assert(before.dataDirs.length == 5)
 
-    val res = GraftTable.compact(spark, dir, opts)
+    // fillFactor 1.0: every version runs below target (100 rows / 2 blocks
+    // each) → all five merge into one
+    val res = GraftTable.compact(spark, dir, opts, fillFactor = 1.0)
     assert(res.complete && res.rowCount == 500)
     val after = GraftTable.currentSnapshot(spark, dir).get
     assert(after.dataDirs.length == 1, after.dataDirs)
@@ -82,6 +84,58 @@ class StreamingSpec extends AnyFunSuite {
     val again = GraftTable.compact(spark, dir, opts)
     assert(again.blocksEncodedThisRun == 0)
     assert(again.snapshotId == res.snapshotId)
+  }
+
+  test("incremental compaction rewrites ONLY fragmented versions (mtime proof)") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-inc-compact").toString
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    // base: 400 full-ish rows (avg ~57/block ≥ fill 0.5·64) → NOT fragmented
+    GraftTable.encode(
+      source.where(col("doc_id").cast("long") < 400).toDF(), dir, opts)
+    // 10 tiny appends of 10 rows each (avg 10 < 32) → fragmented
+    (0 until 10).foreach { i =>
+      GraftTable.append(
+        source.where(col("doc_id").cast("long")
+          .between(400 + i * 10, 409 + i * 10)).toDF(), dir, opts)
+    }
+    val before = GraftTable.currentSnapshot(spark, dir).get
+    assert(before.dataDirs.length == 11)
+
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(rel: String): Map[String, Long] =
+      fs.listStatus(new Path(s"$dir/$rel")).toIndexedSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => s.getPath.toString -> s.getModificationTime).toMap
+    val baseBefore = dataFiles("data/v1")
+
+    val res = GraftTable.compact(spark, dir, opts)
+    assert(res.complete && res.rowCount == 500)
+    val after = GraftTable.currentSnapshot(spark, dir).get
+    // base version survives untouched; ten fragments merged into one
+    assert(after.dataDirs.length == 2, after.dataDirs)
+    assert(after.dataDirs.contains("data/v1"))
+    assert(dataFiles("data/v1") == baseBefore,
+      "base version's data files were rewritten or touched")
+
+    // content is intact and the whole surface still works
+    val decoded = GraftTable.decode(spark, dir)
+    assert(decoded.count() == 500)
+    val mism = decoded.toDF().alias("d").join(source.toDF().alias("s"), "doc_id")
+      .where(!(col("d.tokens") <=> col("s.tokens"))).count()
+    assert(mism == 0)
+    // decodeRange still prunes across the merged + untouched versions
+    val got: Array[Long] = GraftTable.decodeRange(spark, dir, 395L, 405L)
+      .select("doc_id").collect().map(_.getString(0).toLong).sorted
+    val want: Array[Long] = (395L to 405L).toArray
+    assert(got.sameElements(want))
+    // a second compaction is a no-op (nothing fragmented remains)
+    val again = GraftTable.compact(spark, dir, opts)
+    assert(again.blocksEncodedThisRun == 0 && again.snapshotId == res.snapshotId)
+    // GC reclaims exactly the ten dropped fragment dirs (+ their manifests)
+    val reclaimed = GraftTable.expireSnapshots(spark, dir)
+    assert(reclaimed.count(_.startsWith("data/")) == 10, reclaimed)
+    assert(GraftTable.decode(spark, dir).count() == 500)
   }
 
   test("replayed batch is skipped (exactly-once at the table level)") {
@@ -116,7 +170,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingEncode.applyBatch(b0, 0L, dir, opts))
     assert(StreamingEncode.applyBatch(b1, 1L, dir, opts))
     // interleaved maintenance commits: compaction + a manual append
-    GraftTable.compact(spark, dir, opts)
+    GraftTable.compact(spark, dir, opts, fillFactor = 1.0)
     GraftTable.append(
       source.where(col("doc_id").cast("long").between(200, 249)).toDF(), dir, opts)
     val snap = GraftTable.currentSnapshot(spark, dir).get
