@@ -1,0 +1,130 @@
+package graft.expr
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Hadoop Configuration is Writable but not Serializable; this is the
+  * standard serialization shim so an executor-side expression can open the
+  * table filesystem (local, HDFS, S3A) with the driver's configuration.
+  */
+final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** Executor-side lazy loader for two-level range bounds (VERDICT r2 #8).
+  *
+  * The fine cut array of a 10^12-row table is ~15M longs (~120 MB): round
+  * 2 materialized it on the driver and broadcast it whole — the documented
+  * floor of a broadcast-probe design. Two-level breaks that floor: the
+  * driver holds only COARSE cuts (every `chunkSize`-th bound, ≤ a few
+  * thousand longs), and each executor reads the fine chunks it actually
+  * touches straight from the bounds file (`bounds.bin`, raw little-endian
+  * longs) via a positioned read — storage → executor, never through the
+  * driver. Chunks cache per JVM; the per-executor ceiling is the full
+  * bounds size (same as the broadcast held), the DRIVER ceiling is the
+  * coarse array.
+  */
+object BoundsChunks {
+
+  val ChunkSize: Int = 4096
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  /** Test hook: drop every cached chunk (per-JVM state). */
+  def clearCache(): Unit = cache.clear()
+
+  private[expr] def chunk(
+      path: String, chunkId: Int, numBounds: Long,
+      conf: SerializableHadoopConf): Array[Long] =
+    cache.computeIfAbsent(s"$path#$chunkId", _ => {
+      val start = chunkId.toLong * ChunkSize
+      val len = math.min(ChunkSize.toLong, numBounds - start).toInt
+      val buf = new Array[Byte](len * 8)
+      val p = new Path(path)
+      val in = p.getFileSystem(conf.value).open(p)
+      try { in.seek(start * 8L); in.readFully(buf) } finally in.close()
+      val out = new Array[Long](len)
+      var i = 0
+      while (i < len) {
+        var v = 0L
+        var b = 7
+        while (b >= 0) { v = (v << 8) | (buf(i * 8 + b) & 0xFFL); b -= 1 }
+        out(i) = v
+        i += 1
+      }
+      out
+    })
+
+  /** Two-level bucket probe, bit-equal to the flat
+    * [[GraftRuntime.rangeBucket]] over the full bounds array: coarse binary
+    * search picks the chunk, fine binary search inside the (lazily loaded)
+    * chunk yields the global block id.
+    */
+  def rangeBucketChunked(
+      key: Long, coarse: Array[Long], path: String, numBounds: Long,
+      conf: SerializableHadoopConf): Int = {
+    val c = GraftRuntime.rangeBucket(key, coarse)
+    val start = c.toLong * ChunkSize
+    if (start >= numBounds) numBounds.toInt // beyond every bound: last block
+    else start.toInt + GraftRuntime.rangeBucket(key, chunk(path, c, numBounds, conf))
+  }
+}
+
+/** `RangeBucketChunked(key)` — the two-level form of `RangeBucketDist`:
+  * only the coarse cuts ride the broadcast; fine cuts stream from the
+  * bounds file on demand. Semantically identical to the flat probe
+  * (property-tested), used when the bounds count crosses the chunked
+  * threshold.
+  */
+case class RangeBucketChunked(
+    child: Expression,
+    coarseBc: Broadcast[Array[Long]],
+    binPath: String,
+    numBounds: Long,
+    confBc: Broadcast[SerializableHadoopConf])
+    extends UnaryExpression {
+
+  @transient private lazy val coarse: Array[Long] = coarseBc.value
+  @transient private lazy val conf: SerializableHadoopConf = confBc.value
+
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.long(child, prettyName)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_range_bucket_chunked"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BoundsChunks.rangeBucketChunked(
+      input.asInstanceOf[Long], coarse, binPath, numBounds, conf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val coarseRef = ctx.addReferenceObj(
+      "graftCoarseBc", coarseBc, "org.apache.spark.broadcast.Broadcast<long[]>")
+    val confRef = ctx.addReferenceObj(
+      "graftConfBc", confBc,
+      "org.apache.spark.broadcast.Broadcast<graft.expr.SerializableHadoopConf>")
+    val coarseName = ctx.addMutableState(
+      "long[]", "graftCoarse", v => s"$v = (long[]) $coarseRef.value();")
+    val confName = ctx.addMutableState(
+      "graft.expr.SerializableHadoopConf", "graftConf",
+      v => s"$v = (graft.expr.SerializableHadoopConf) $confRef.value();")
+    val pathLit = binPath.replace("\\", "\\\\").replace("\"", "\\\"")
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.expr.BoundsChunks.rangeBucketChunked($c, $coarseName, "$pathLit", ${numBounds}L, $confName)""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RangeBucketChunked =
+    copy(child = newChild)
+}

@@ -58,7 +58,18 @@ object GraftTable {
         * Disable only when input immutability is guaranteed externally and
         * the two confirm scans matter.
         */
-      verifyResume: Boolean = true)
+      verifyResume: Boolean = true,
+      /** Bounds count at or above which the table switches to TWO-LEVEL
+        * bounds: the driver materializes and broadcasts only coarse cuts
+        * (one per [[graft.expr.BoundsChunks.ChunkSize]] fine bounds) and
+        * executors stream fine chunks from `bounds.bin` on demand. Below
+        * it, the flat collect + broadcast path is faster and simpler. The
+        * default keeps tables under ~1M blocks (≈64 GiB of 64Ki-row
+        * blocks… per BLOCK-count, i.e. ~10^11 rows) on the flat path; a
+        * 10^12-row / 15M-block table crosses it and stops costing the
+        * driver 120 MB of heap + broadcast.
+        */
+      chunkedBoundsMinBounds: Int = 1 << 20)
 
   final case class Snapshot(
       version: Int,
@@ -171,24 +182,39 @@ object GraftTable {
 
     // bounds: reuse the parent's bounds file on resume, else compute
     // distributed (Ranks — no single-partition sort) and persist to a
-    // parquet file the snapshot references. Shipped to tasks as ONE
-    // broadcast per encode, never as a per-task plan literal.
-    val (bounds, boundsDir): (Array[Long], Option[String]) = timed("bounds")(parent match {
-      case Some(p) => (loadBounds(spark, tableDir, p), p.boundsDir)
+    // file the snapshot references. Small tables ship the flat array as
+    // ONE broadcast; past Options.chunkedBoundsMinBounds the table goes
+    // TWO-LEVEL (coarse cuts broadcast, fine chunks streamed from
+    // bounds.bin per executor) so the driver never materializes the full
+    // array (the round-2 120 MB floor).
+    val (boundsRef, boundsDir): (BoundsRef, Option[String]) = timed("bounds")(parent match {
+      case Some(p) => (loadBoundsRef(spark, tableDir, p), p.boundsDir)
       case None =>
-        val b = computeBounds(keyed, stats.rows, opts.targetRowsPerBlock, opts.sampleRows)
-        if (b.isEmpty) (b, None)
-        else {
+        val estBounds =
+          math.max(1L, (stats.rows + opts.targetRowsPerBlock - 1) /
+            opts.targetRowsPerBlock) - 1L
+        if (estBounds >= opts.chunkedBoundsMinBounds) {
           val dir = s"metadata/bounds/v$ver"
-          writeBounds(spark, s"$tableDir/$dir", b)
-          (b, Some(dir))
+          computeBoundsToFile(
+            keyed, stats.rows, opts.targetRowsPerBlock, opts.sampleRows,
+            s"$tableDir/$dir/bounds.bin") match {
+            case Some(r) => (r, Some(dir))
+            case None => (SmallBounds(Array.empty), None)
+          }
+        } else {
+          val b = computeBounds(keyed, stats.rows, opts.targetRowsPerBlock, opts.sampleRows)
+          if (b.isEmpty) (SmallBounds(b), None)
+          else {
+            val dir = s"metadata/bounds/v$ver"
+            writeBounds(spark, s"$tableDir/$dir", b)
+            (SmallBounds(b), Some(dir))
+          }
         }
     })
-    val numBlocks = bounds.length + 1
-    val bcBounds = spark.sparkContext.broadcast(bounds)
+    val numBlocks = boundsRef.numBounds.toInt + 1
 
     val withBlocks = keyed.withColumn(
-      "block_id", graft_range_bucket(col("_graft_key"), bcBounds))
+      "block_id", boundsRef.bucket(spark, col("_graft_key")))
 
     // resume (E5): encode only blocks absent from the parent manifest
     val notDone = parent match {
@@ -294,7 +320,7 @@ object GraftTable {
     val complete = blocksDone == numBlocks
     val snapshotId = Hashing.sha256Hex(
       s"v$ver;parent=${parent.map(_.snapshotId).getOrElse("none")};" +
-        s"fp=${stats.fingerprint};bounds=${boundsSig(bounds)};" +
+        s"fp=${stats.fingerprint};bounds=${boundsRef.sigHex()};" +
         s"blocks=$blocksDone/$numBlocks;rows=${tot.getLong(1)};" +
         s"tokens=${tot.getLong(2)};bytes=${tot.getLong(3)};sig=$contentSig")
 
@@ -454,13 +480,151 @@ object GraftTable {
       else {
         // partial parent: compare only input rows that land in done blocks
         val done = man.select(col("block_id").cast("int").as("block_id")).distinct()
-        val bc = spark.sparkContext.broadcast(loadBounds(spark, tableDir, p))
+        val ref = loadBoundsRef(spark, tableDir, p)
         sig(keyed
-          .withColumn("block_id", graft_range_bucket(col("_graft_key"), bc))
+          .withColumn("block_id", ref.bucket(spark, col("_graft_key")))
           .join(done, Seq("block_id"), "left_semi"))
       }
     stored._1 == input._1 && stored._2 == input._2
   }
+
+  // --------------------------------------------------- bounds references
+
+  /** A handle on a snapshot's range bounds that can build the block-id
+    * probe column without committing to HOW the bounds reach executors.
+    */
+  private[table] sealed trait BoundsRef {
+    def numBounds: Long
+    def bucket(spark: SparkSession, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+    def sigHex(): String
+  }
+
+  /** Flat path: full array on the driver, one broadcast per encode. */
+  private[table] final case class SmallBounds(bounds: Array[Long]) extends BoundsRef {
+    @transient private var bc: org.apache.spark.broadcast.Broadcast[Array[Long]] = _
+    override def numBounds: Long = bounds.length.toLong
+    override def bucket(spark: SparkSession, key: org.apache.spark.sql.Column) = {
+      if (bc == null) bc = spark.sparkContext.broadcast(bounds)
+      graft_range_bucket(key, bc)
+    }
+    override def sigHex(): String = boundsSig(bounds)
+  }
+
+  /** Two-level path: the driver holds one coarse cut per
+    * [[graft.expr.BoundsChunks.ChunkSize]] fine bounds; executors stream
+    * the fine chunks they touch from `bounds.bin` (VERDICT r2 #8 — breaks
+    * the O(numBlocks) driver heap + broadcast floor).
+    */
+  private[table] final case class ChunkedBoundsRef(
+      binPath: String, override val numBounds: Long, coarse: Array[Long],
+      sigThunk: () => String) extends BoundsRef {
+    override def bucket(spark: SparkSession, key: org.apache.spark.sql.Column) = {
+      val coarseBc = spark.sparkContext.broadcast(coarse)
+      val confBc = spark.sparkContext.broadcast(
+        new graft.expr.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      org.apache.spark.sql.GraftSql.column(graft.expr.RangeBucketChunked(
+        org.apache.spark.sql.GraftSql.expression(key),
+        coarseBc, binPath, numBounds, confBc))
+    }
+    override def sigHex(): String = sigThunk()
+  }
+
+  /** Distributed bound planning WITHOUT driver materialization: the ranked
+    * boundary keys are globally sorted by Spark, then STREAMED through the
+    * driver (`toLocalIterator` — O(one partition) heap) into `bounds.bin`
+    * while the coarse cuts and content digest accumulate on the fly.
+    * Returns None when the sampled key space degenerates to one block.
+    */
+  private[table] def computeBoundsToFile(
+      keyed: DataFrame, rows: Long, targetRows: Int, sampleRows: Long,
+      binPath: String): Option[ChunkedBoundsRef] = {
+    val spark = keyed.sparkSession
+    val numBlocks = math.max(1L, (rows + targetRows - 1) / targetRows.toLong)
+    if (numBlocks <= 1) return None
+    val budget = math.max(sampleRows, numBlocks * 8L)
+    val stride = math.max(1L, rows / budget)
+    val s = keyed
+      .where(col("_graft_key").isNotNull &&
+        pmod(xxhash64(col("_graft_key")), lit(stride)) === 0)
+      .select(col("_graft_key").as("k"))
+    val parallelism = spark.sparkContext.defaultParallelism
+    val (ranked, cnt, release) = Ranks.withRank(s, col("k"), "rn", parallelism * 2)
+    try {
+      if (cnt < numBlocks) return None
+      val boundary = ranked
+        .where((col("rn") * numBlocks).divide(cnt).cast("long") =!=
+          ((col("rn") - 1) * numBlocks).divide(cnt).cast("long"))
+        .where(col("rn") =!= 1 && col("rn") =!= cnt)
+        .select("k").distinct().orderBy("k")
+      val chunkSize = graft.expr.BoundsChunks.ChunkSize
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val digestBuf = java.nio.ByteBuffer.allocate(8)
+      val coarse = Array.newBuilder[Long]
+      var n = 0L
+      var last = 0L
+      val out = hfs(spark, binPath).create(new Path(binPath), true)
+      try {
+        val dout = new java.io.DataOutputStream(new java.io.BufferedOutputStream(out, 1 << 20))
+        val it = boundary.toLocalIterator()
+        while (it.hasNext) {
+          val v = it.next().getLong(0)
+          // bounds.bin is little-endian (BoundsChunks reads LE)
+          dout.writeLong(java.lang.Long.reverseBytes(v))
+          digestBuf.clear(); digestBuf.putLong(v); md.update(digestBuf.array())
+          n += 1
+          last = v
+          if (n % chunkSize == 0) coarse += v
+        }
+        if (n % chunkSize != 0) coarse += last
+        dout.flush()
+      } finally out.close()
+      if (n == 0) { delete(spark, binPath); return None }
+      val sig = md.digest().map("%02x".format(_)).mkString
+      Some(ChunkedBoundsRef(binPath, n, coarse.result(), () => sig))
+    } finally release()
+  }
+
+  /** Resolve a snapshot's bounds to a probe handle: `bounds.bin` present →
+    * two-level (driver reads only the coarse cuts — O(numBounds/4096));
+    * else the flat parquet array.
+    */
+  private[table] def loadBoundsRef(
+      spark: SparkSession, tableDir: String, snap: Snapshot): BoundsRef =
+    snap.boundsDir match {
+      case None => SmallBounds(Array.empty)
+      case Some(d) =>
+        val bin = s"$tableDir/$d/bounds.bin"
+        val fs = hfs(spark, bin)
+        if (!fs.exists(new Path(bin)))
+          SmallBounds(loadBounds(spark, tableDir, snap))
+        else {
+          val chunkSize = graft.expr.BoundsChunks.ChunkSize
+          val n = fs.getFileStatus(new Path(bin)).getLen / 8L
+          // stream once, keep every chunkSize-th value — O(coarse) heap
+          def scan(withSig: Boolean): (Array[Long], String) = {
+            val md = if (withSig) java.security.MessageDigest.getInstance("SHA-256") else null
+            val buf = java.nio.ByteBuffer.allocate(8)
+            val coarse = Array.newBuilder[Long]
+            var i = 0L
+            var last = 0L
+            val in = new java.io.DataInputStream(
+              new java.io.BufferedInputStream(fs.open(new Path(bin)), 1 << 20))
+            try {
+              while (i < n) {
+                val v = java.lang.Long.reverseBytes(in.readLong())
+                if (withSig) { buf.clear(); buf.putLong(v); md.update(buf.array()) }
+                i += 1
+                last = v
+                if (i % chunkSize == 0) coarse += v
+              }
+            } finally in.close()
+            if (n % chunkSize != 0) coarse += last
+            (coarse.result(), if (withSig) md.digest().map("%02x".format(_)).mkString else null)
+          }
+          val (coarse, _) = scan(withSig = false)
+          ChunkedBoundsRef(bin, n, coarse, () => scan(withSig = true)._2)
+        }
+    }
 
   /** Bounds file IO: one bigint column `k`, sorted on load. */
   private[table] def writeBounds(spark: SparkSession, path: String, bounds: Array[Long]): Unit = {

@@ -131,6 +131,84 @@ class BoundsSpec extends AnyFunSuite {
     assert(perTaskBytes <= (512L << 20), s"task holds $perTaskBytes B")
   }
 
+  test("chunked probe is bit-equal to the flat probe (random bounds + keys)") {
+    import graft.expr.{BoundsChunks, GraftRuntime, SerializableHadoopConf}
+    BoundsChunks.clearCache()
+    val rnd = new scala.util.Random(77)
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    (0 until 3).foreach { trial =>
+      val n = 1 + rnd.nextInt(3 * BoundsChunks.ChunkSize) // spans 1..3+ chunks
+      val bounds = Array.fill(n)(rnd.nextLong()).distinct.sorted
+      val bin = Files.createTempDirectory("graft-bin").toString + "/bounds.bin"
+      val bb = java.nio.ByteBuffer.allocate(bounds.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bounds.foreach(bb.putLong)
+      Files.write(java.nio.file.Paths.get(bin), bb.array())
+      val coarse = bounds.grouped(BoundsChunks.ChunkSize).map(_.last).toArray
+      // probe keys: every boundary value itself, ±1 neighbours, randoms
+      val keys = bounds.take(500).flatMap(v => Seq(v - 1, v, v + 1)) ++
+        Array.fill(2000)(rnd.nextLong()) ++
+        Seq(Long.MinValue, Long.MaxValue)
+      keys.foreach { k =>
+        val flat = GraftRuntime.rangeBucket(k, bounds)
+        val chunked = BoundsChunks.rangeBucketChunked(
+          k, coarse, bin, bounds.length.toLong, conf)
+        assert(chunked == flat, s"trial $trial key $k: $chunked != $flat")
+      }
+    }
+  }
+
+  test("two-level bounds: driver holds coarse cuts only, bytes match flat path") {
+    import graft.expr.BoundsChunks
+    BoundsChunks.clearCache()
+    val n = 30000
+    val rows = spark.range(n.toLong).select(
+      col("id").cast("string").as("doc_id"),
+      array((col("id") % 31).cast("int"), ((col("id") + 7) % 31).cast("int")).as("tokens"),
+      lit(2).as("n_tok"),
+      concat(lit("src"), (col("id") % 4)).as("source"))
+    val flatDir = tmpDir("flat")
+    val chunkDir = tmpDir("chunked")
+    val flatOpts = GraftTable.Options(targetRowsPerBlock = 1)
+    val chunkOpts = flatOpts.copy(chunkedBoundsMinBounds = 1000)
+
+    // partial chunked run first (exercises loadBoundsRef on the resume leg)
+    val r1 = GraftTable.encode(rows, chunkDir, chunkOpts.copy(blockFilter = Some(_ % 2 == 0)))
+    assert(!r1.complete)
+    val r2 = GraftTable.encode(rows, chunkDir, chunkOpts)
+    assert(r2.complete && r2.rowCount == n.toLong)
+    val flat = GraftTable.encode(rows, flatDir, flatOpts)
+    assert(flat.complete)
+
+    // identical table content regardless of bounds transport
+    assert(r2.contentSig == flat.contentSig)
+    assert(r2.numBlocks == flat.numBlocks)
+    assert(r2.bytesTotal == flat.bytesTotal)
+
+    // the chunked table's bounds live in bounds.bin, not a parquet array,
+    // and the driver-side handle holds ONLY the coarse cuts
+    val snap = GraftTable.currentSnapshot(spark, chunkDir).get
+    val binPath = s"$chunkDir/${snap.boundsDir.get}/bounds.bin"
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(binPath)))
+    val ref = GraftTable.loadBoundsRef(spark, chunkDir, snap)
+    ref match {
+      case c: GraftTable.ChunkedBoundsRef =>
+        val expectCoarse = (c.numBounds + BoundsChunks.ChunkSize - 1) / BoundsChunks.ChunkSize
+        assert(c.coarse.length.toLong == expectCoarse,
+          s"coarse ${c.coarse.length} != ceil(${c.numBounds}/${BoundsChunks.ChunkSize})")
+        assert(c.coarse.length < 20, "driver-held bounds not coarse-sized")
+      case other => fail(s"expected ChunkedBoundsRef, got $other")
+    }
+    // flat snapshot id == chunked snapshot id is NOT required (lineage
+    // differs: partial + resume vs one-shot), but decode totals must agree
+    val agg = GraftTable.decode(spark, chunkDir).toDF()
+      .agg(count(lit(1)), sum("n_tok")).head()
+    assert(agg.getLong(0) == n.toLong && agg.getLong(1) == 2L * n)
+    // complete-table resume stays a no-op on the chunked table
+    val r3 = GraftTable.encode(rows, chunkDir, chunkOpts)
+    assert(r3.blocksEncodedThisRun == 0 && r3.snapshotId == r2.snapshotId)
+  }
+
   test("single-block table has no bounds file and resumes as a no-op") {
     val rows = (0 until 50).map(i =>
       TokenRow(i.toString, Array(1, 2, 3), 3, "s")).toDF()
