@@ -85,10 +85,21 @@ object GenericTable {
         else Nil
       presence ++ st.fields.toIndexedSeq.flatMap(f =>
         fieldLeaves(s"$path.${f.name}", c.getField(f.name), f.dataType, nullable = true))
+    case MapType(kt, vt, _) =>
+      // maps shred into parallel key/value array leaves (thrift map<K,V>
+      // parity); restored via map_from_arrays. A null map yields null
+      // arrays on both legs, so no presence leaf is needed.
+      val keys = fieldLeaves(s"$path.__mk", map_keys(c), ArrayType(kt), nullable)
+      val values = fieldLeaves(s"$path.__mv", map_values(c), ArrayType(vt), nullable)
+      require(keys.length == 1 && values.length == 1, // both must be flat array kinds
+        s"column $path: map key/value types (${kt.catalogString}, ${vt.catalogString}) " +
+          "must be scalar (int/long/string/float/double)")
+      keys ++ values
     case other => throw new UnsupportedOperationException(
       s"column $path: type ${other.catalogString} is not supported by the generic " +
         "encoder (supported: integral/bool/date/timestamp/string/float/double/" +
-        "binary, arrays of int/long/float/double/string, nested structs)")
+        "binary, arrays of int/long/float/double/string, maps of those scalars, " +
+        "nested structs)")
   }
 
   /** Rebuild the original column from decoded storage leaves. */
@@ -106,6 +117,13 @@ object GenericTable {
         val body = struct(st.fields.toIndexedSeq.map(f =>
           restore(s"$path.${f.name}", f.dataType, nullable = true, get).as(f.name)): _*)
         if (nullable) when(get(s"$path.__p") === 1, body) else body
+      case MapType(kt, vt, vcn) =>
+        // legs rebuilt with exactly dt's nullability so map_from_arrays
+        // already has type dt (a map-to-map cast can't relax
+        // valueContainsNull, so there must be no outer cast here)
+        val keys = restore(s"$path.__mk", ArrayType(kt, containsNull = false), nullable, get)
+        val values = restore(s"$path.__mv", ArrayType(vt, containsNull = vcn), nullable, get)
+        when(keys.isNull, lit(null).cast(dt)).otherwise(map_from_arrays(keys, values))
       case other => throw new UnsupportedOperationException(other.catalogString)
     }
 
@@ -128,6 +146,9 @@ object GenericTable {
 
   private val SchemaKey = "generic_schema"
   private val KeyKey = "generic_key"
+
+  /** Whether a snapshot was written by the generic lane (catalog routing). */
+  def isGeneric(snap: Snapshot): Boolean = snap.stats.toMap.contains(SchemaKey)
 
   // ------------------------------------------------------------- encode
 

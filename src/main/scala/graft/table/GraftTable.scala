@@ -972,7 +972,11 @@ object GraftTable {
   def registerViews(spark: SparkSession, tableDir: String, name: String = "graft"): Unit = {
     readBlocks(spark, tableDir).createOrReplaceTempView(s"${name}_blocks")
     readManifest(spark, tableDir).createOrReplaceTempView(s"${name}_manifest")
-    decode(spark, tableDir).toDF().createOrReplaceTempView(name)
+    val decoded = currentSnapshot(spark, tableDir) match {
+      case Some(s) if GenericTable.isGeneric(s) => GenericTable.decode(spark, tableDir)
+      case _ => decode(spark, tableDir).toDF()
+    }
+    decoded.createOrReplaceTempView(name)
   }
 
   /** Introspection (SURVEY.md R9/E3): one row per (column, codec) with

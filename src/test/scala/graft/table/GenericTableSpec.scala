@@ -2,7 +2,7 @@ package graft.table
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -165,11 +165,40 @@ class GenericTableSpec extends AnyFunSuite {
     val cols = d.map(_.getString(0)).toSet
     assert(cols == Set("doc_id", "text", "lang", "source", "n_chars"))
     assert(d.forall(r => r.getAs[Long]("bytes") > 0))
-    // maps are not encodable — loud plan-time error, not silent drop
-    val bad = docs.withColumn("m", map(lit("k"), lit(1)))
+    // arrays of structs are not encodable — loud plan-time error, not a
+    // silent drop
+    val bad = docs.withColumn("m", array(struct(lit(1).as("a"))))
     val e = intercept[UnsupportedOperationException](
       GenericTable.encode(bad, tmpDir("bad")))
     assert(e.getMessage.contains("not supported"))
+  }
+
+  test("map columns round-trip via key/value shredding; SQL views route generically") {
+    val base = (0 until 200).toDF("k")
+    val df = base.select(
+      col("k").cast("long").as("id"),
+      when(pmod(col("k"), lit(5)) === 0, lit(null))
+        .otherwise(map_from_arrays(
+          slice(transform(sequence(lit(0), lit(3)), j => concat(lit("key"), j)),
+            lit(1), pmod(col("k"), lit(4)) + 1),
+          slice(transform(sequence(lit(0), lit(3)), j => j * col("k")),
+            lit(1), pmod(col("k"), lit(4)) + 1))).as("attrs"))
+    val dir = tmpDir("maps")
+    val res = GenericTable.encode(df, dir, keyCol = "id")
+    assert(res.complete && res.rowCount == 200)
+    // set-ops can't compare MAP columns — compare canonical sorted entries
+    def canon(d: DataFrame) =
+      d.select(col("id"), sort_array(map_entries(col("attrs"))).as("entries"))
+    assertSameRows(canon(GenericTable.decode(spark, dir)), canon(df))
+    // null maps stay null; present maps keep exact key→value pairs
+    assert(GenericTable.decode(spark, dir).where(col("attrs").isNull).count() ==
+      df.where(col("attrs").isNull).count())
+    // catalog registration routes generic tables to the generic decoder
+    GraftCatalog.register(spark, s"$dir/catalog", "gen_maps", dir)
+    val viaSql = spark.sql(
+      "SELECT CAST(count(*) AS BIGINT) c, CAST(sum(size(attrs)) AS BIGINT) s FROM gen_maps").head()
+    assert(viaSql.getLong(0) == 200)
+    assert(viaSql.getLong(1) == df.agg(sum(size(col("attrs")))).head().getLong(0))
   }
 
   test("token schema through the generic lane agrees with the specialized lane") {
