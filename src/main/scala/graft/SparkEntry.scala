@@ -55,6 +55,20 @@ object SparkEntry {
       dir
     })
 
+  /** TPC-H lineitem through the generic lane: 11 columns spanning int64,
+    * int32, double (×4 — exercised by the f64_dec decimal-scaling codec),
+    * string, and timestamp.
+    */
+  private def lineitemTableDir(spark: SparkSession, sfDir: String): String =
+    tableDirCache.getOrElseUpdate((spark.sparkContext.applicationId, s"L:$sfDir"), {
+      val dir = "/tmp/graft-tables/L1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      GenericTable.encode(
+        spark.read.parquet(s"$sfDir/lineitem.parquet"), dir,
+        keyCol = "l_orderkey",
+        opts = GraftTable.Options(targetRowsPerBlock = 8192))
+      dir
+    })
+
   private val codecNames =
     Seq("plain", "bitpack", "for", "delta_for", "rle", "dict", "fsst", "pfor")
 
@@ -123,6 +137,27 @@ object SparkEntry {
           col("n_chars").cast("long").as("n_chars"),
           md5(encode(col("text"), "UTF-8")).as("text_md5"))
         .orderBy("doc_id")
+    }),
+
+    // Generic lane over TPC-H lineitem: the four double columns ride the
+    // f64_dec decimal-scaling codec (scaled-integer + raw-bit exceptions);
+    // exact decimal aggregates of the DECODED table must equal the same
+    // aggregates of the source — only a bit-identical double decode can
+    // produce identical cent-level decimal casts on every row
+    "q_roundtrip_lineitem" -> ((s, dir) => {
+      val tdir = lineitemTableDir(s, dir)
+      GenericTable.decode(s, tdir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_price"),
+          sum(col("l_discount").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_disc"),
+          sum(col("l_tax").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_tax"),
+          sum(col("l_orderkey").cast("decimal(38,0)")).cast("decimal(38,0)").as("sum_okey"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+        .orderBy("l_returnflag", "l_linestatus")
     }),
 
     // E11 verify as a query: decoded ⋈ source equi-join, mismatches must
@@ -516,6 +551,20 @@ object SparkEntry {
         |       md5(text) AS text_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q_roundtrip_lineitem" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+        |       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_disc,
+        |       CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_tax,
+        |       CAST(SUM(CAST(l_orderkey AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_okey,
+        |       MIN(l_shipdate) AS min_ship,
+        |       MAX(l_shipdate) AS max_ship
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_verify_mismatch" ->
       """SELECT CAST(count(*) AS BIGINT) AS docs,

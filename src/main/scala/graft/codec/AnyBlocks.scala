@@ -238,13 +238,146 @@ object PrimBlocks {
   val F32_PLAIN = 98
   val BIN_PLAIN = 99
   val ARR = 100
+  val F64_DEC = 101
+  val F32_DEC = 102
 
   val names: Map[Int, String] = Map(
     NULLABLE -> "nullable", F64_PLAIN -> "f64_plain", F32_PLAIN -> "f32_plain",
-    BIN_PLAIN -> "bin_plain", ARR -> "arr")
+    BIN_PLAIN -> "bin_plain", ARR -> "arr",
+    F64_DEC -> "f64_dec", F32_DEC -> "f32_dec")
+
+  // exact powers of ten (10^e is exactly representable in f64 up to e=22)
+  private val Pow10: Array[Double] = Array.tabulate(19)(e => math.pow(10.0, e))
+
+  /** Auto-select for doubles: decimal-scaled-integer when the values are
+    * decimals in disguise (ALP-style — Afroozeh & Boncz, SIGMOD 2023:
+    * scale by 10^e, verify each value round-trips BIT-exactly, store the
+    * scaled longs through [[LongBlocks]] with raw-bit exceptions), else
+    * raw IEEE bits. Prices/quantities/ratios compress 4–10×; truly random
+    * mantissas fall back to plain after a cheap sampled probe.
+    */
+  def encF64(values: Array[Double]): Array[Byte] = {
+    val plain = encF64Plain(values)
+    encF64Dec(values) match {
+      case Some(dec) if dec.length < plain.length => dec
+      case _ => plain
+    }
+  }
+
+  /** Auto-select for floats: same decimal-scaling trial over int32. */
+  def encF32(values: Array[Float]): Array[Byte] = {
+    val plain = encF32Plain(values)
+    encF32Dec(values) match {
+      case Some(dec) if dec.length < plain.length => dec
+      case _ => plain
+    }
+  }
+
+  private def exactF64(v: Double, e: Int): Long = {
+    // the scaled integer when v = s / 10^e reproduces v's exact bits
+    // (decode performs the same single IEEE division, so bit-equality
+    // here is bit-equality there); Long.MinValue = "no"
+    val s = Math.round(v * Pow10(e))
+    if (s == Long.MaxValue || s == Long.MinValue) Long.MinValue
+    else if (java.lang.Double.doubleToRawLongBits(s.toDouble / Pow10(e)) ==
+      java.lang.Double.doubleToRawLongBits(v)) s
+    else Long.MinValue
+  }
+
+  private def exactF32(v: Float, e: Int): Long = {
+    val s = Math.round(v.toDouble * Pow10(e))
+    if (s > Int.MaxValue || s < Int.MinValue) Long.MinValue
+    else if (java.lang.Float.floatToRawIntBits((s.toDouble / Pow10(e)).toFloat) ==
+      java.lang.Float.floatToRawIntBits(v)) s
+    else Long.MinValue
+  }
+
+  /** Pick the smallest exponent that makes (almost) every sampled value an
+    * exact scaled integer; -1 when no exponent covers ≥ 7/8 of the sample.
+    */
+  private def pickExponent(n: Int, maxE: Int, exact: (Int, Int) => Boolean): Int = {
+    if (n == 0) return -1
+    val stride = math.max(1, n / 512)
+    var e = 0
+    while (e <= maxE) {
+      var i = 0
+      var hits = 0
+      var seen = 0
+      while (i < n) {
+        if (exact(i, e)) hits += 1
+        seen += 1
+        i += stride
+      }
+      if (hits.toLong * 8 >= seen.toLong * 7) return e
+      e += 1
+    }
+    -1
+  }
+
+  // F64_DEC: [id][vlen n][e:1B][vlen nExc][(vlen idxDelta, 8B raw bits)*]
+  //          [nested LongBlocks payload of the n scaled values]
+  private def encF64Dec(values: Array[Double]): Option[Array[Byte]] = {
+    val n = values.length
+    val e = pickExponent(n, 14, (i, ex) => exactF64(values(i), ex) != Long.MinValue)
+    if (e < 0) return None
+    val scaled = new Array[Long](n)
+    val excIdx = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < n) {
+      val s = exactF64(values(i), e)
+      if (s == Long.MinValue) { excIdx.add(i); scaled(i) = 0L } else scaled(i) = s
+      i += 1
+    }
+    if (excIdx.size().toLong * 8 > n.toLong) return None // sample misled
+    val nested = LongBlocks.encodeAuto(scaled)
+    val w = new ByteWriter(nested.length + excIdx.size() * 10 + 16)
+    w.putByte(F64_DEC); w.putVarInt(n); w.putByte(e); w.putVarInt(excIdx.size())
+    var prev = 0
+    i = 0
+    while (i < excIdx.size()) {
+      val idx = excIdx.get(i)
+      w.putVarInt(idx - prev)
+      prev = idx
+      val bits = java.lang.Double.doubleToRawLongBits(values(idx))
+      w.putIntLE(bits.toInt); w.putIntLE((bits >>> 32).toInt)
+      i += 1
+    }
+    w.putBytes(nested)
+    Some(w.result())
+  }
+
+  // F32_DEC: same layout with 4B raw-bit exceptions + nested IntBlocks
+  private def encF32Dec(values: Array[Float]): Option[Array[Byte]] = {
+    val n = values.length
+    val e = pickExponent(n, 9, (i, ex) => exactF32(values(i), ex) != Long.MinValue)
+    if (e < 0) return None
+    val scaled = new Array[Int](n)
+    val excIdx = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < n) {
+      val s = exactF32(values(i), e)
+      if (s == Long.MinValue) { excIdx.add(i); scaled(i) = 0 } else scaled(i) = s.toInt
+      i += 1
+    }
+    if (excIdx.size().toLong * 8 > n.toLong) return None
+    val nested = IntBlocks.encodeAutoChoice(scaled, allowDict = true, allowFsst = false)._1
+    val w = new ByteWriter(nested.length + excIdx.size() * 6 + 16)
+    w.putByte(F32_DEC); w.putVarInt(n); w.putByte(e); w.putVarInt(excIdx.size())
+    var prev = 0
+    i = 0
+    while (i < excIdx.size()) {
+      val idx = excIdx.get(i)
+      w.putVarInt(idx - prev)
+      prev = idx
+      w.putIntLE(java.lang.Float.floatToRawIntBits(values(idx)))
+      i += 1
+    }
+    w.putBytes(nested)
+    Some(w.result())
+  }
 
   // F64_PLAIN: [id][vlen n][n * raw IEEE-754 bits, int64 LE]
-  def encF64(values: Array[Double]): Array[Byte] = {
+  private def encF64Plain(values: Array[Double]): Array[Byte] = {
     val w = new ByteWriter(values.length * 8 + 8)
     w.putByte(F64_PLAIN); w.putVarInt(values.length)
     var i = 0
@@ -256,22 +389,47 @@ object PrimBlocks {
     w.result()
   }
 
-  def decF64(in: ByteReader): Array[Double] = {
-    require(in.getByte() == F64_PLAIN, "not an f64 payload")
-    val n = in.getVarInt()
-    val out = new Array[Double](n)
-    var i = 0
-    while (i < n) {
-      val lo = in.getIntLE().toLong & 0xFFFFFFFFL
-      val hi = in.getIntLE().toLong
-      out(i) = java.lang.Double.longBitsToDouble((hi << 32) | lo)
-      i += 1
-    }
-    out
+  def decF64(in: ByteReader): Array[Double] = in.getByte() match {
+    case F64_PLAIN =>
+      val n = in.getVarInt()
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val lo = in.getIntLE().toLong & 0xFFFFFFFFL
+        val hi = in.getIntLE().toLong
+        out(i) = java.lang.Double.longBitsToDouble((hi << 32) | lo)
+        i += 1
+      }
+      out
+    case F64_DEC =>
+      val n = in.getVarInt()
+      val e = in.getByte()
+      val nExc = in.getVarInt()
+      val excIdx = new Array[Int](nExc)
+      val excVal = new Array[Double](nExc)
+      var prev = 0
+      var i = 0
+      while (i < nExc) {
+        prev += in.getVarInt()
+        excIdx(i) = prev
+        val lo = in.getIntLE().toLong & 0xFFFFFFFFL
+        val hi = in.getIntLE().toLong
+        excVal(i) = java.lang.Double.longBitsToDouble((hi << 32) | lo)
+        i += 1
+      }
+      val scaled = LongBlocks.decodeReader(in)
+      val p = Pow10(e)
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = scaled(i).toDouble / p; i += 1 }
+      i = 0
+      while (i < nExc) { out(excIdx(i)) = excVal(i); i += 1 }
+      out
+    case other => throw new IllegalArgumentException(s"not an f64 payload: id $other")
   }
 
   // F32_PLAIN: [id][vlen n][n * raw IEEE-754 bits, int32 LE]
-  def encF32(values: Array[Float]): Array[Byte] = {
+  private def encF32Plain(values: Array[Float]): Array[Byte] = {
     val w = new ByteWriter(values.length * 4 + 8)
     w.putByte(F32_PLAIN); w.putVarInt(values.length)
     var i = 0
@@ -282,13 +440,36 @@ object PrimBlocks {
     w.result()
   }
 
-  def decF32(in: ByteReader): Array[Float] = {
-    require(in.getByte() == F32_PLAIN, "not an f32 payload")
-    val n = in.getVarInt()
-    val out = new Array[Float](n)
-    var i = 0
-    while (i < n) { out(i) = java.lang.Float.intBitsToFloat(in.getIntLE()); i += 1 }
-    out
+  def decF32(in: ByteReader): Array[Float] = in.getByte() match {
+    case F32_PLAIN =>
+      val n = in.getVarInt()
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) { out(i) = java.lang.Float.intBitsToFloat(in.getIntLE()); i += 1 }
+      out
+    case F32_DEC =>
+      val n = in.getVarInt()
+      val e = in.getByte()
+      val nExc = in.getVarInt()
+      val excIdx = new Array[Int](nExc)
+      val excVal = new Array[Float](nExc)
+      var prev = 0
+      var i = 0
+      while (i < nExc) {
+        prev += in.getVarInt()
+        excIdx(i) = prev
+        excVal(i) = java.lang.Float.intBitsToFloat(in.getIntLE())
+        i += 1
+      }
+      val scaled = IntBlocks.decodeReader(in)
+      val p = Pow10(e)
+      val out = new Array[Float](n)
+      i = 0
+      while (i < n) { out(i) = (scaled(i).toDouble / p).toFloat; i += 1 }
+      i = 0
+      while (i < nExc) { out(excIdx(i)) = excVal(i); i += 1 }
+      out
+    case other => throw new IllegalArgumentException(s"not an f32 payload: id $other")
   }
 
   // BIN_PLAIN: [id][vlen n][(vlen byteLen, bytes)*]

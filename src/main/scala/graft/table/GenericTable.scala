@@ -57,6 +57,21 @@ object GenericTable {
     }
   }
 
+  /** timestamp_ntz ↔ micros-since-epoch without a timezone: pure local
+    * datetime arithmetic (a session-tz cast would corrupt values inside
+    * DST gaps — spring-forward local times have no instant).
+    */
+  private def ntzEpoch =
+    org.apache.spark.sql.catalyst.expressions.Literal(0L, TimestampNTZType)
+
+  private def ntzMicros(c: Column): Column =
+    GraftSql.column(org.apache.spark.sql.catalyst.expressions.TimestampDiff(
+      "MICROSECOND", ntzEpoch, GraftSql.expression(c)))
+
+  private def ntzFromMicros(c: Column): Column =
+    GraftSql.column(org.apache.spark.sql.catalyst.expressions.TimestampAdd(
+      "MICROSECOND", GraftSql.expression(c), ntzEpoch))
+
   private def fieldLeaves(
       path: String, c: Column, dt: DataType, nullable: Boolean): Seq[Leaf] = dt match {
     case IntegerType => Seq(Leaf(path, "int", c))
@@ -64,6 +79,7 @@ object GenericTable {
     case LongType => Seq(Leaf(path, "long", c))
     case DateType => Seq(Leaf(path, "int", unix_date(c)))
     case TimestampType => Seq(Leaf(path, "long", unix_micros(c)))
+    case TimestampNTZType => Seq(Leaf(path, "long", ntzMicros(c)))
     case StringType => Seq(Leaf(path, "string", c))
     case DoubleType => Seq(Leaf(path, "f64", c))
     case FloatType => Seq(Leaf(path, "f32", c))
@@ -111,6 +127,7 @@ object GenericTable {
       case ByteType | ShortType | BooleanType => get(path).cast(dt)
       case DateType => date_from_unix_date(get(path))
       case TimestampType => timestamp_micros(get(path))
+      case TimestampNTZType => ntzFromMicros(get(path))
       case ArrayType(ByteType | ShortType | BooleanType, _) => get(path).cast(dt)
       case _: ArrayType => get(path).cast(dt) // realign containsNull flags
       case st: StructType =>
@@ -140,6 +157,7 @@ object GenericTable {
         coalesce(expr(s"try_cast(${quoted(name)} as bigint)"), xxhash64(c))
       case DateType => coalesce(unix_date(c).cast(LongType), xxhash64(c))
       case TimestampType => coalesce(unix_micros(c), xxhash64(c))
+      case TimestampNTZType => coalesce(ntzMicros(c), xxhash64(c))
       case _ => xxhash64(c)
     }
   }
@@ -350,6 +368,16 @@ object GenericTable {
   def decode(spark: SparkSession, tableDir: String): DataFrame = {
     val snap = GraftTable.currentSnapshot(spark, tableDir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+    val (schema, plan) = snapshotPlan(snap)
+    decodeFields(spark, tableDir, snap, plan, schema.fieldNames.toIndexedSeq)
+  }
+
+  /** Time-travel decode: the table exactly as of `version` (schema
+    * included — each version's snapshot pins the schema it was written
+    * with).
+    */
+  def decodeAt(spark: SparkSession, tableDir: String, version: Int): DataFrame = {
+    val snap = GraftTable.snapshotAt(spark, tableDir, version)
     val (schema, plan) = snapshotPlan(snap)
     decodeFields(spark, tableDir, snap, plan, schema.fieldNames.toIndexedSeq)
   }

@@ -657,21 +657,52 @@ object GraftTable {
     * Blocks are written exactly once under exactly one live data dir, so the
     * scan needs no manifest join.
     */
-  def readBlocks(spark: SparkSession, tableDir: String): DataFrame = {
-    val snap = currentSnapshot(spark, tableDir).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+  def readBlocks(spark: SparkSession, tableDir: String): DataFrame =
+    readBlocks(spark, tableDir, currentSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir")))
+
+  def readBlocks(spark: SparkSession, tableDir: String, snap: Snapshot): DataFrame = {
     if (snap.dataDirs.isEmpty) {
       import spark.implicits._
       spark.emptyDataset[BlockRow].toDF()
     } else spark.read.parquet(snap.dataDirs.map(d => s"$tableDir/$d"): _*)
   }
 
+  /** Snapshot as of an older `version` (time travel). Every committed
+    * version keeps its metadata/vN.json, so any version is addressable
+    * until [[expireSnapshots]] reclaims its files — after which this
+    * fails loud rather than returning a partial table.
+    */
+  def snapshotAt(spark: SparkSession, tableDir: String, version: Int): Snapshot = {
+    val s = readStringOpt(spark, s"$tableDir/metadata/v$version.json")
+      .map(parseSnapshot).getOrElse(throw new IllegalArgumentException(
+        s"no snapshot v$version at $tableDir"))
+    val fs = hfs(spark, tableDir)
+    (s.dataDirs ++ s.manifestDirs ++ s.boundsDir.toSeq).foreach { d =>
+      if (!fs.exists(new Path(s"$tableDir/$d")))
+        throw new IllegalStateException(s"snapshot v$version references " +
+          s"$d which expireSnapshots has reclaimed — time travel window closed")
+    }
+    s
+  }
+
+  /** Time-travel decode: the token table exactly as of `version`. */
+  def decodeAt(spark: SparkSession, tableDir: String, version: Int): Dataset[TokenRow] =
+    decodeSnap(spark, snapshotAt(spark, tableDir, version), tableDir)
+
   /** Decode the current snapshot back to the input-shaped token table.
     * Bit-identical per row to the encoded source (BASELINE.json:6).
     */
   def decode(spark: SparkSession, tableDir: String): Dataset[TokenRow] = {
     import spark.implicits._
-    readBlocks(spark, tableDir)
+    decodeSnap(spark, currentSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir")), tableDir)
+  }
+
+  private def decodeSnap(
+      spark: SparkSession, snap: Snapshot, tableDir: String): Dataset[TokenRow] = {
+    import spark.implicits._
+    readBlocks(spark, tableDir, snap)
       .select(explode(arrays_zip(
         graft_decode_str(col("pl_doc_id")).as("doc_id"),
         graft_reslice(graft_decode(col("pl_tokens")), graft_decode(col("pl_n_tok")))

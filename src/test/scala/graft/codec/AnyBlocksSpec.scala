@@ -67,6 +67,71 @@ class AnyBlocksSpec extends AnyFunSuite with SeededGens {
         java.lang.Float.floatToRawIntBits(backF(i)), s"at $i"))
   }
 
+  test("decimal doubles pick f64_dec, round-trip bit-exactly with exceptions") {
+    // 2-decimal prices with scattered non-decimal values (the ALP shape)
+    val rnd = new scala.util.Random(7)
+    val prices = Array.tabulate(4096) { i =>
+      if (i % 97 == 0) java.lang.Double.longBitsToDouble(rnd.nextLong()) // exception
+      else (rnd.nextInt(900000) + 1) / 100.0
+    }
+    val enc = PrimBlocks.encF64(prices)
+    assert((enc(0) & 0xFF) == PrimBlocks.F64_DEC)
+    assert(enc.length < prices.length * 3, s"dec payload ${enc.length}B should beat 3B/value")
+    val back = PrimBlocks.decF64(new ByteReader(enc))
+    prices.indices.foreach(i => assert(
+      java.lang.Double.doubleToRawLongBits(prices(i)) ==
+        java.lang.Double.doubleToRawLongBits(back(i)), s"at $i"))
+    // integral doubles (quantities) scale at e=0 and ride LongBlocks FOR
+    val qty = Array.tabulate(2048)(i => (i % 50 + 1).toDouble)
+    val encQ = PrimBlocks.encF64(qty)
+    assert((encQ(0) & 0xFF) == PrimBlocks.F64_DEC)
+    assert(encQ.length < qty.length * 2)
+    // random mantissas stay raw: no false positives from the sampler
+    val noise = Array.fill(2048)(java.lang.Double.longBitsToDouble(rnd.nextLong()))
+    assert((PrimBlocks.encF64(noise)(0) & 0xFF) == PrimBlocks.F64_PLAIN)
+  }
+
+  test("decimal floats pick f32_dec and round-trip bit-exactly") {
+    val rnd = new scala.util.Random(11)
+    val vals = Array.tabulate(4096) { i =>
+      if (i % 113 == 0) java.lang.Float.intBitsToFloat(rnd.nextInt())
+      else (rnd.nextInt(10000) - 5000) / 10.0f
+    }
+    val enc = PrimBlocks.encF32(vals)
+    assert((enc(0) & 0xFF) == PrimBlocks.F32_DEC)
+    val back = PrimBlocks.decF32(new ByteReader(enc))
+    vals.indices.foreach(i => assert(
+      java.lang.Float.floatToRawIntBits(vals(i)) ==
+        java.lang.Float.floatToRawIntBits(back(i)), s"at $i"))
+    val noiseF = Array.fill(2048)(java.lang.Float.intBitsToFloat(rnd.nextInt()))
+    assert((PrimBlocks.encF32(noiseF)(0) & 0xFF) == PrimBlocks.F32_PLAIN)
+  }
+
+  test("f64/f32 property: any value mix round-trips bit-exactly under auto") {
+    val genD = Gen.oneOf(
+      Gen.chooseNum(-1000000, 1000000).map(_ / 100.0),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(java.lang.Double.longBitsToDouble))
+    samples(Gen.listOf(genD), 200).foreach { vs =>
+      val a = vs.toArray
+      val back = PrimBlocks.decF64(new ByteReader(PrimBlocks.encF64(a)))
+      assert(back.length == a.length)
+      a.indices.foreach(i => assert(
+        java.lang.Double.doubleToRawLongBits(a(i)) ==
+          java.lang.Double.doubleToRawLongBits(back(i))))
+    }
+    val genF = Gen.oneOf(
+      Gen.chooseNum(-100000, 100000).map(_ / 10.0f),
+      Gen.chooseNum(Int.MinValue, Int.MaxValue).map(java.lang.Float.intBitsToFloat))
+    samples(Gen.listOf(genF), 200).foreach { vs =>
+      val a = vs.toArray
+      val back = PrimBlocks.decF32(new ByteReader(PrimBlocks.encF32(a)))
+      assert(back.length == a.length)
+      a.indices.foreach(i => assert(
+        java.lang.Float.floatToRawIntBits(a(i)) ==
+          java.lang.Float.floatToRawIntBits(back(i))))
+    }
+  }
+
   test("binary payloads round-trip including empty and high bytes") {
     val gen = Gen.listOf(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
     samples(gen, 200).foreach { vs =>

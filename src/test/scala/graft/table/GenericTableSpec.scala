@@ -201,6 +201,17 @@ class GenericTableSpec extends AnyFunSuite {
     assert(viaSql.getLong(1) == df.agg(sum(size(col("attrs")))).head().getLong(0))
   }
 
+  test("generic time travel: decodeAt(v1) after a re-encode returns the old table") {
+    val base = (0 until 100).toDF("k").select(col("k").cast("long").as("id"),
+      concat(lit("row"), col("k")).as("s"))
+    val dir = tmpDir("gtt")
+    GenericTable.encode(base.where(col("id") < 40), dir, keyCol = "id")
+    GenericTable.encode(base, dir, keyCol = "id") // changed input → v2
+    assert(GenericTable.decodeAt(spark, dir, 1).count() == 40)
+    assert(GenericTable.decodeAt(spark, dir, 2).count() == 100)
+    assertSameRows(GenericTable.decodeAt(spark, dir, 2), base)
+  }
+
   test("token schema through the generic lane agrees with the specialized lane") {
     val tokens = Tokenize.tokenTable(spark, "/root/testdata/sf0.001").toDF()
     val dirG = tmpDir("lanegen")

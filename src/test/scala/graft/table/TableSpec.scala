@@ -264,6 +264,28 @@ class TableSpec extends AnyFunSuite {
     assert(got.sameElements(want), s"got ${got.mkString(",")}")
   }
 
+  test("time travel: decodeAt(v) reproduces each version; expiry closes it loud") {
+    import spark.implicits._
+    val dir = tmpDir("timetravel")
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    val first = source.toDF().where(col("doc_id").cast("long") < 250)
+    GraftTable.encode(first, dir, opts)
+    GraftTable.append(source.toDF().where(col("doc_id").cast("long") >= 250), dir, opts)
+    // v1 = just the first batch, v2 = current = everything
+    assert(GraftTable.decodeAt(spark, dir, 1).count() == first.count())
+    assert(GraftTable.decodeAt(spark, dir, 2).count() == source.count())
+    assert(collectRows(GraftTable.decodeAt(spark, dir, 2))
+      .sameElements(collectRows(GraftTable.decode(spark, dir))))
+    intercept[IllegalArgumentException](GraftTable.decodeAt(spark, dir, 9))
+    // compact, expire: v1's files are reclaimed → time travel fails LOUD
+    GraftTable.compact(spark, dir)
+    GraftTable.expireSnapshots(spark, dir)
+    val e = intercept[IllegalStateException](GraftTable.decodeAt(spark, dir, 1))
+    assert(e.getMessage.contains("expireSnapshots"))
+    // current decode still fine after expiry
+    assert(GraftTable.decode(spark, dir).count() == source.count())
+  }
+
   test("BlockAssembler.rowHash is Spark's xxhash64 bit for bit") {
     // resume safety depends on the manifest's row_xor (JVM-side hash at
     // assembly time) matching the SQL-side input hash exactly
