@@ -69,6 +69,23 @@ object SparkEntry {
       dir
     })
 
+  /** Schema-evolved generic table: documents ingested in two batches with
+    * DIFFERENT schemas — rows `doc_id < 250` arrive before the `lang` and
+    * `n_chars` columns existed; the rest carry all five. Old rows must
+    * read null for the late columns (Iceberg-style evolution).
+    */
+  private def evolvedTableDir(spark: SparkSession, sfDir: String): String =
+    tableDirCache.getOrElseUpdate((spark.sparkContext.applicationId, s"E:$sfDir"), {
+      val dir = "/tmp/graft-tables/E1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val opts = GraftTable.Options(targetRowsPerBlock = 128)
+      GenericTable.encode(
+        docs.where(col("doc_id") < 250).select("doc_id", "text", "source"),
+        dir, keyCol = "doc_id", opts)
+      GenericTable.append(docs.where(col("doc_id") >= 250), dir, opts)
+      dir
+    })
+
   private val codecNames =
     Seq("plain", "bitpack", "for", "delta_for", "rle", "dict", "fsst", "pfor")
 
@@ -137,6 +154,22 @@ object SparkEntry {
           col("n_chars").cast("long").as("n_chars"),
           md5(encode(col("text"), "UTF-8")).as("text_md5"))
         .orderBy("doc_id")
+    }),
+
+    // Schema evolution: documents ingested as two batches with different
+    // schemas (lang/n_chars added mid-stream); rows that predate a column
+    // must read null for it, everything else must survive bit-identically
+    "q_schema_evolution" -> ((s, dir) => {
+      val tdir = evolvedTableDir(s, dir)
+      GenericTable.decode(s, tdir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).cast("long")
+            .as("pre_evolution_docs"),
+          sum(coalesce(col("n_chars"), lit(0L))).cast("long").as("sum_chars"),
+          sum(length(col("text")).cast("long")).cast("long").as("sum_text_len"))
+        .orderBy("source")
     }),
 
     // Generic lane over TPC-H lineitem: the four double columns ride the
@@ -551,6 +584,17 @@ object SparkEntry {
         |       md5(text) AS text_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q_schema_evolution" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS pre_evolution_docs,
+        |       CAST(SUM(CASE WHEN doc_id >= 250 THEN n_chars ELSE 0 END) AS BIGINT)
+        |         AS sum_chars,
+        |       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_roundtrip_lineitem" ->
       """SELECT l_returnflag, l_linestatus,

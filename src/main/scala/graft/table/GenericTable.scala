@@ -163,10 +163,35 @@ object GenericTable {
   }
 
   private val SchemaKey = "generic_schema"
+  private val WriteSchemaKey = "generic_write_schema"
   private val KeyKey = "generic_key"
 
   /** Whether a snapshot was written by the generic lane (catalog routing). */
   def isGeneric(snap: Snapshot): Boolean = snap.stats.toMap.contains(SchemaKey)
+
+  /** Union-by-name schema merge (Iceberg-style evolution): fields shared
+    * with the parent must keep the SAME type (loud error otherwise — no
+    * silent coercion); parent-only fields stay (new rows read null),
+    * batch-only fields are appended as nullable (old rows read null).
+    */
+  private[table] def mergeSchemas(parent: StructType, batch: StructType): StructType = {
+    val batchByName = batch.fields.map(f => f.name -> f).toMap
+    val kept = parent.fields.toIndexedSeq.map { pf =>
+      batchByName.get(pf.name) match {
+        case Some(bf) =>
+          require(GraftSql.sameType(pf.dataType, bf.dataType),
+            s"schema evolution cannot change the type of column ${pf.name}: " +
+              s"${pf.dataType.catalogString} -> ${bf.dataType.catalogString}")
+          pf.copy(nullable = pf.nullable || bf.nullable)
+        case None => pf.copy(nullable = true) // absent from new rows
+      }
+    }
+    val parentNames = parent.fieldNames.toSet
+    val added = batch.fields.toIndexedSeq
+      .filterNot(f => parentNames.contains(f.name))
+      .map(_.copy(nullable = true)) // absent from old rows
+    StructType(kept ++ added)
+  }
 
   // ------------------------------------------------------------- encode
 
@@ -334,6 +359,133 @@ object GenericTable {
       tot.getLong(1), 0L, tot.getLong(2), tot.getLong(3), contentSig, complete)
   }
 
+  /** Append a batch to a generic table, with Iceberg-style schema
+    * evolution: the batch schema may add columns (old rows read null) or
+    * omit nullable columns (new rows read null); shared columns must keep
+    * their type. The new version's blocks are encoded under the BATCH's
+    * own leaf plan (no null-padding materialized), and the snapshot's read
+    * schema becomes the union-by-name merge. Like [[GraftTable.append]],
+    * append always adds — it never resumes.
+    */
+  def append(
+      batch: DataFrame,
+      tableDir: String,
+      opts: Options = Options()): EncodeResult = {
+    val spark = batch.sparkSession
+    val cur = GraftTable.currentSnapshot(spark, tableDir)
+    if (cur.isEmpty) return encode(batch, tableDir, opts = opts)
+    val parent = cur.get
+    val stats = parent.stats.toMap
+    require(stats.contains(SchemaKey),
+      s"$tableDir is a token table — use GraftTable.append")
+    val parentSchema = readSchemaOf(parent)
+    val merged = mergeSchemas(parentSchema, batch.schema)
+    val key = stats(KeyKey)
+    require(batch.schema.fieldNames.contains(key),
+      s"append batch must carry the table key column $key")
+
+    val schema = batch.schema
+    val plan = planOf(schema)
+    val leaves = plan.flatMap(_._2)
+    val keyed = batch
+      .select(leaves.map(l => l.enc.as(l.name)) :+
+        keyExprOf(key, schema(key).dataType).as("_graft_key"): _*)
+      .withColumn("_graft_rh", xxhash64(leaves.map(l => col(quoted(l.name))): _*))
+    val st = keyed.agg(
+      count(lit(1)).as("rows"),
+      expr("bit_xor(_graft_rh)").as("x"),
+      expr("sum(cast(_graft_rh as decimal(38,0)))").as("s")).head()
+    val rows = st.getLong(0)
+    if (rows == 0L)
+      return EncodeResult(parent.version, parent.snapshotId, parent.numBlocks,
+        0L, parent.blocksEncoded, parent.rowCount, parent.tokenCount,
+        parent.bytesTotal, parent.plainBytes, parent.contentSig, parent.complete)
+    val xor = if (st.isNullAt(1)) 0L else st.getLong(1)
+    val sumMod =
+      if (st.isNullAt(2)) java.math.BigInteger.ZERO else GraftTable.mod64(st.getDecimal(2))
+    val fingerprint = Hashing.sha256Hex(
+      s"generic-append;parent=${parent.snapshotId};rows=$rows;xor=$xor;" +
+        s"sum=$sumMod;key=$key;schema=${schema.json}")
+
+    val ver = parent.version + 1
+    val bounds = GraftTable.computeBounds(
+      keyed, rows, opts.targetRowsPerBlock, opts.sampleRows)
+    val boundsDir =
+      if (bounds.isEmpty) None
+      else {
+        val dir = s"metadata/bounds/v$ver"
+        GraftTable.writeBounds(spark, s"$tableDir/$dir", bounds)
+        Some(dir)
+      }
+    val newNumBlocks = bounds.length + 1
+    val bcBounds = spark.sparkContext.broadcast(bounds)
+    val withBlocks = keyed.withColumn(
+      "block_id", graft_range_bucket(col("_graft_key"), bcBounds))
+
+    val parallelism = spark.sparkContext.defaultParallelism
+    val encodeParts = GraftTable.encodePartitions(
+      newNumBlocks, parallelism, rows * leaves.length)
+    val kinds = leaves.map(_.kind).toArray
+    val outSchema = StructType(IndexedSeq(
+      StructField("block_id", IntegerType, nullable = false),
+      StructField("ver", IntegerType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("key_min", LongType, nullable = false),
+      StructField("key_max", LongType, nullable = false),
+      StructField("plain_bytes", LongType, nullable = false),
+      StructField("row_xor", LongType, nullable = false),
+      StructField("row_sum", LongType, nullable = false)) ++
+      leaves.indices.map(i => StructField(s"pl_$i", BinaryType, nullable = false)))
+    val blocks = withBlocks
+      .select(Seq(col("block_id"), col("_graft_key").as("k"),
+        col("_graft_rh").as("rh")) ++ leaves.map(l => col(quoted(l.name))): _*)
+      .repartition(encodeParts, col("block_id"))
+      .sortWithinPartitions(col("block_id"), col("k"), col("rh"))
+      .mapPartitions(it => GenericAssembler.assemble(it, ver, kinds))(Encoders.row(outSchema))
+
+    val dataDir = s"data/v$ver"
+    blocks.write.mode("overwrite").parquet(s"$tableDir/$dataDir")
+    val manifestDir = s"manifests/v$ver"
+    manifestOf(spark, s"$tableDir/$dataDir", leaves.length)
+      .write.mode("overwrite").json(s"$tableDir/$manifestDir")
+
+    val manifestDirs = parent.manifestDirs :+ manifestDir
+    val dataDirs = parent.dataDirs :+ dataDir
+    // cross-version totals: manifests of evolved versions differ in their
+    // codec_i columns, but the accounting columns are common to all
+    val all = spark.read.json(manifestDirs.map(d => s"$tableDir/$d"): _*)
+    val tot = all.agg(
+      count(lit(1)).as("blocks"),
+      sum("row_count").as("rows"),
+      sum("bytes_total").as("bytes"),
+      sum("plain_bytes").as("plain"),
+      expr("bit_xor(block_sig)").as("sig")).head()
+    val blocksDone = tot.getLong(0)
+    val contentSig = f"${tot.getLong(4)}%016x"
+    val numBlocks = parent.numBlocks + newNumBlocks
+    val statsFields = Seq(
+      "rows" -> tot.getLong(1).toString,
+      SchemaKey -> merged.json,
+      WriteSchemaKey -> schema.json,
+      KeyKey -> key,
+      "generic_leaves" -> leaves.map(l => s"${l.kind}:${l.name}").mkString(""))
+    val snapshotId = Hashing.sha256Hex(
+      s"v$ver;generic-append;parent=${parent.snapshotId};fp=$fingerprint;" +
+        s"bounds=${GraftTable.boundsSig(bounds)};blocks=$blocksDone/$numBlocks;" +
+        s"rows=${tot.getLong(1)};bytes=${tot.getLong(2)};sig=$contentSig")
+    val snap = Snapshot(ver, snapshotId, Some(parent.snapshotId), fingerprint,
+      s"generic:$key", boundsDir, numBlocks, blocksDone,
+      complete = parent.complete, tot.getLong(1), tokenCount = 0L,
+      tot.getLong(2), tot.getLong(3), contentSig, dataDirs, manifestDirs,
+      statsFields.sorted, java.time.Instant.now().toString)
+    GraftTable.writeString(
+      spark, s"$tableDir/metadata/v$ver.json", GraftTable.renderSnapshot(snap))
+    GraftTable.commitPointer(spark, tableDir, ver)
+    EncodeResult(ver, snapshotId, numBlocks, newNumBlocks.toLong, blocksDone,
+      tot.getLong(1), 0L, tot.getLong(2), tot.getLong(3), contentSig,
+      complete = parent.complete)
+  }
+
   /** Manifest from the WRITTEN data files: per-leaf codec evidence + sizes
     * (leaf index ↔ name mapping lives in the snapshot's generic_leaves).
     */
@@ -353,13 +505,13 @@ object GenericTable {
 
   // -------------------------------------------------------------- decode
 
-  private def snapshotPlan(snap: Snapshot): (StructType, Seq[(StructField, Seq[Leaf])]) = {
+  /** The current READ schema of a generic snapshot (post-evolution merge). */
+  private def readSchemaOf(snap: Snapshot): StructType = {
     val stats = snap.stats.toMap
     val schemaJson = stats.getOrElse(SchemaKey, throw new IllegalStateException(
       "not a generic table: snapshot has no generic_schema (token tables " +
         "decode via GraftTable.decode)"))
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    (schema, planOf(schema))
+    DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
   /** Decode the current snapshot back to the original schema, bit-identical
@@ -368,8 +520,8 @@ object GenericTable {
   def decode(spark: SparkSession, tableDir: String): DataFrame = {
     val snap = GraftTable.currentSnapshot(spark, tableDir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
-    val (schema, plan) = snapshotPlan(snap)
-    decodeFields(spark, tableDir, snap, plan, schema.fieldNames.toIndexedSeq)
+    val schema = readSchemaOf(snap)
+    decodeFields(spark, tableDir, snap, schema, schema.fieldNames.toIndexedSeq)
   }
 
   /** Time-travel decode: the table exactly as of `version` (schema
@@ -378,8 +530,8 @@ object GenericTable {
     */
   def decodeAt(spark: SparkSession, tableDir: String, version: Int): DataFrame = {
     val snap = GraftTable.snapshotAt(spark, tableDir, version)
-    val (schema, plan) = snapshotPlan(snap)
-    decodeFields(spark, tableDir, snap, plan, schema.fieldNames.toIndexedSeq)
+    val schema = readSchemaOf(snap)
+    decodeFields(spark, tableDir, snap, schema, schema.fieldNames.toIndexedSeq)
   }
 
   /** Column-pruned decode: only `columns` (top-level names) are
@@ -389,52 +541,108 @@ object GenericTable {
       spark: SparkSession, tableDir: String, columns: Seq[String]): DataFrame = {
     val snap = GraftTable.currentSnapshot(spark, tableDir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
-    val (schema, plan) = snapshotPlan(snap)
+    val schema = readSchemaOf(snap)
     require(columns.nonEmpty && columns.forall(schema.fieldNames.contains),
       s"decodeSelect columns must be among ${schema.fieldNames.mkString(", ")}")
-    decodeFields(spark, tableDir, snap, plan,
+    decodeFields(spark, tableDir, snap, schema,
       schema.fieldNames.filter(columns.contains).toIndexedSeq)
   }
 
+  private def versionOf(dataDir: String): Int =
+    dataDir.substring(dataDir.lastIndexOf("/v") + 2).toInt
+
+  /** The schema a given version's blocks were WRITTEN with (schema
+    * evolution means it can differ from the current read schema).
+    */
+  private def writeSchemaOf(snap: Snapshot): StructType = {
+    val stats = snap.stats.toMap
+    val json = stats.getOrElse(WriteSchemaKey, stats.getOrElse(SchemaKey,
+      throw new IllegalStateException(s"v${snap.version} is not generic")))
+    DataType.fromJson(json).asInstanceOf[StructType]
+  }
+
+  /** Decode, version by version: each version's blocks are read with the
+    * leaf plan of the schema they were written with, projected onto the
+    * requested fields of the current (merged) read schema — fields a
+    * version predates read as null, exactly like Parquet/Iceberg schema
+    * evolution. The per-version frames union by position (same projected
+    * column list).
+    */
   private def decodeFields(
       spark: SparkSession,
       tableDir: String,
       snap: Snapshot,
-      plan: Seq[(StructField, Seq[Leaf])],
+      readSchema: StructType,
       fieldNames: IndexedSeq[String]): DataFrame = {
-    val allLeaves = plan.flatMap(_._2)
-    val leafIdx = allLeaves.map(_.name).zipWithIndex.toMap
-    val wanted = plan.filter(p => fieldNames.contains(p._1.name))
-    val wantedLeaves = wanted.flatMap(_._2)
+    val wanted = readSchema.fields.toIndexedSeq.filter(f => fieldNames.contains(f.name))
     if (snap.dataDirs.isEmpty)
       return spark.createDataFrame(
-        new java.util.ArrayList[Row](),
-        StructType(wanted.map(_._1).toIndexedSeq))
-    val blocksDf = spark.read.parquet(snap.dataDirs.map(d => s"$tableDir/$d"): _*)
-    val zipped = wantedLeaves.map { l =>
-      val i = leafIdx(l.name)
-      GraftSql.column(GraftDecodeAny(
-        GraftSql.expression(col(s"pl_$i")), l.kind)).as(s"c$i")
+        new java.util.ArrayList[Row](), StructType(wanted))
+    val perVersion = snap.dataDirs.groupBy(versionOf).toSeq.sortBy(_._1).map {
+      case (ver, dirs) =>
+        val vsnap =
+          if (ver == snap.version) snap
+          else GraftTable.snapshotVersion(spark, tableDir, ver).getOrElse(
+            throw new IllegalStateException(
+              s"data dir of v$ver is live but metadata/v$ver.json is missing"))
+        val wplan = planOf(writeSchemaOf(vsnap))
+        val leafIdx = wplan.flatMap(_._2).map(_.name).zipWithIndex.toMap
+        val byName = wplan.map(p => p._1.name -> p).toMap
+        val present = wanted.flatMap(f => byName.get(f.name))
+        // at least one decoded leaf must drive the per-row explode even
+        // when every wanted column postdates this version (null rows of
+        // the right multiplicity); prefer a cheap fixed-width leaf
+        val driver =
+          if (present.nonEmpty) Nil
+          else {
+            val all = wplan.flatMap(_._2)
+            Seq(all.find(l => Set("int", "long", "f32", "f64").contains(l.kind))
+              .getOrElse(all.head))
+          }
+        val leaves = present.flatMap(_._2) ++ driver
+        val zipped = leaves.map { l =>
+          val i = leafIdx(l.name)
+          GraftSql.column(GraftDecodeAny(
+            GraftSql.expression(col(s"pl_$i")), l.kind)).as(s"c$i")
+        }
+        val blocksDf = spark.read.parquet(dirs.map(d => s"$tableDir/$d"): _*)
+        val exploded = blocksDf.select(explode(arrays_zip(zipped: _*)).as("r"))
+        def get(name: String): Column = col("r").getField(s"c${leafIdx(name)}")
+        exploded.select(wanted.map { f =>
+          byName.get(f.name) match {
+            case Some((wf, _)) => restore(wf.name, wf.dataType, wf.nullable, get).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
     }
-    val exploded = blocksDf.select(explode(arrays_zip(zipped: _*)).as("r"))
-    def get(name: String): Column = col("r").getField(s"c${leafIdx(name)}")
-    exploded.select(wanted.map { case (f, _) =>
-      restore(f.name, f.dataType, f.nullable, get).as(f.name)
-    }: _*)
+    perVersion.reduce(_ unionAll _)
   }
 
-  /** Per-(column, codec) selection evidence, the generic `describe`. */
+  /** Per-(column, codec) selection evidence, the generic `describe`.
+    * Versions are summarized under their own write plans (an evolved
+    * table's leaf indices differ per version), then re-aggregated by
+    * column name.
+    */
   def describe(spark: SparkSession, tableDir: String): DataFrame = {
     val snap = GraftTable.currentSnapshot(spark, tableDir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
-    val (_, plan) = snapshotPlan(snap)
-    val leaves = plan.flatMap(_._2)
-    val man = GraftTable.readManifest(spark, tableDir, snap)
-    leaves.zipWithIndex.map { case (l, i) =>
-      man.groupBy(col(s"codec_$i").as("codec"))
-        .agg(count(lit(1)).as("blocks"), sum(col(s"bytes_$i")).as("bytes"))
-        .select(lit(l.name).as("column"), col("codec"), col("blocks"), col("bytes"))
-    }.reduce(_ unionAll _)
+    val perVersion = snap.manifestDirs.groupBy(versionOf).toSeq.sortBy(_._1).map {
+      case (ver, dirs) =>
+        val vsnap =
+          if (ver == snap.version) snap
+          else GraftTable.snapshotVersion(spark, tableDir, ver).getOrElse(
+            throw new IllegalStateException(s"metadata/v$ver.json missing"))
+        val leaves = planOf(writeSchemaOf(vsnap)).flatMap(_._2)
+        val man = spark.read.json(dirs.map(d => s"$tableDir/$d"): _*)
+        leaves.zipWithIndex.map { case (l, i) =>
+          man.groupBy(col(s"codec_$i").as("codec"))
+            .agg(count(lit(1)).as("blocks"), sum(col(s"bytes_$i")).as("bytes"))
+            .select(lit(l.name).as("column"), col("codec"), col("blocks"), col("bytes"))
+        }.reduce(_ unionAll _)
+    }
+    perVersion.reduce(_ unionAll _)
+      .groupBy(col("column"), col("codec"))
+      .agg(sum(col("blocks")).as("blocks"), sum(col("bytes")).as("bytes"))
   }
 }
 

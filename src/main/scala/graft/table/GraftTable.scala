@@ -673,9 +673,14 @@ object GraftTable {
     * until [[expireSnapshots]] reclaims its files — after which this
     * fails loud rather than returning a partial table.
     */
+  /** Snapshot metadata of a specific version, no file validation. */
+  private[table] def snapshotVersion(
+      spark: SparkSession, tableDir: String, version: Int): Option[Snapshot] =
+    readStringOpt(spark, s"$tableDir/metadata/v$version.json").map(parseSnapshot)
+
   def snapshotAt(spark: SparkSession, tableDir: String, version: Int): Snapshot = {
-    val s = readStringOpt(spark, s"$tableDir/metadata/v$version.json")
-      .map(parseSnapshot).getOrElse(throw new IllegalArgumentException(
+    val s = snapshotVersion(spark, tableDir, version)
+      .getOrElse(throw new IllegalArgumentException(
         s"no snapshot v$version at $tableDir"))
     val fs = hfs(spark, tableDir)
     (s.dataDirs ++ s.manifestDirs ++ s.boundsDir.toSeq).foreach { d =>

@@ -13,6 +13,9 @@ object GraftSql {
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Type equality ignoring nullability/case (private[sql] in Spark). */
+  def sameType(a: types.DataType, b: types.DataType): Boolean = a.sameType(b)
+
   /** Register graft codec expressions as SQL functions so `selectExpr` /
     * `spark.sql` can call them: graft_encode(arr[, 'codec']),
     * graft_decode(bin), graft_decode_str(bin), graft_reslice(flat, lens).

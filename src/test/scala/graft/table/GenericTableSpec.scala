@@ -212,6 +212,64 @@ class GenericTableSpec extends AnyFunSuite {
     assertSameRows(GenericTable.decodeAt(spark, dir, 2), base)
   }
 
+  test("generic append: same-schema batches accumulate and round-trip") {
+    val mk = (lo: Int, hi: Int) => (lo until hi).toDF("k").select(
+      col("k").cast("long").as("id"),
+      concat(lit("text"), col("k")).as("s"),
+      (col("k") * 2).cast("double").as("v"))
+    val dir = tmpDir("gappend")
+    GenericTable.encode(mk(0, 100), dir, keyCol = "id")
+    val r = GenericTable.append(mk(100, 250), dir)
+    assert(r.version == 2 && r.rowCount == 250)
+    assertSameRows(GenericTable.decode(spark, dir), mk(0, 250))
+    // empty batch is a no-op commit
+    val r2 = GenericTable.append(mk(0, 0), dir)
+    assert(r2.version == 2)
+  }
+
+  test("schema evolution: added and dropped columns null-fill per version") {
+    val dir = tmpDir("gevolve")
+    val v1 = (0 until 50).toDF("k").select(
+      col("k").cast("long").as("id"), concat(lit("a"), col("k")).as("a"))
+    GenericTable.encode(v1, dir, keyCol = "id")
+    // v2 adds column b (old rows must read null)
+    val v2 = (50 until 120).toDF("k").select(
+      col("k").cast("long").as("id"), concat(lit("a"), col("k")).as("a"),
+      (col("k") * 10).cast("long").as("b"))
+    GenericTable.append(v2, dir)
+    // v3 omits a entirely (its rows read null for a) and adds c
+    val v3 = (120 until 150).toDF("k").select(
+      col("k").cast("long").as("id"), lit(3.5).as("c"))
+    GenericTable.append(v3, dir)
+
+    val d = GenericTable.decode(spark, dir)
+    assert(d.columns.toSeq == Seq("id", "a", "b", "c"))
+    assert(d.count() == 150)
+    assert(d.where(col("b").isNull).count() == 80) // v1 predates b, v3 omits it
+    assert(d.where(col("a").isNull).count() == 30) // v3 dropped a
+    assert(d.where(col("c").isNotNull).count() == 30)
+    // every version's own values survive bit-identically
+    val expect = v1.withColumn("b", lit(null).cast("long")).withColumn("c", lit(null).cast("double"))
+      .unionByName(v2.withColumn("c", lit(null).cast("double")))
+      .unionByName(v3.withColumn("a", lit(null).cast("string"))
+        .withColumn("b", lit(null).cast("long")), allowMissingColumns = true)
+      .select("id", "a", "b", "c")
+    assertSameRows(d, expect)
+    // column-pruned decode across evolved versions
+    assert(GenericTable.decodeSelect(spark, dir, Seq("c")).where(col("c").isNotNull).count() == 30)
+    // time travel sees the OLD schema before evolution
+    assert(GenericTable.decodeAt(spark, dir, 1).columns.toSeq == Seq("id", "a"))
+    // type change fails loud
+    val bad = (0 until 5).toDF("k").select(
+      col("k").cast("long").as("id"), col("k").as("a"))
+    val e = intercept[IllegalArgumentException](GenericTable.append(bad, dir))
+    assert(e.getMessage.contains("cannot change the type"))
+    // describe labels per-version leaves by column name, not index
+    val cols = GenericTable.describe(spark, dir)
+      .select("column").distinct().collect().map(_.getString(0)).toSet
+    assert(cols == Set("id", "a", "b", "c"))
+  }
+
   test("token schema through the generic lane agrees with the specialized lane") {
     val tokens = Tokenize.tokenTable(spark, "/root/testdata/sf0.001").toDF()
     val dirG = tmpDir("lanegen")
