@@ -156,6 +156,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DataSource V2 read path: the same encoded table consumed via
+    // spark.read.format("graft") with a pushed source filter — the filter
+    // prunes blocks through the manifest src_list zone maps at plan time,
+    // the projection prunes payload columns, and the result must still be
+    // exactly what the raw documents imply
+    "q_datasource" -> ((s, dir) => {
+      val tdir = encodedTableDir(s, dir)
+      s.read.format("graft").load(tdir)
+        .where(col("source").isin("src1", "src2"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).cast("long").as("docs"),
+          sum(col("n_tok").cast("long")).as("tokens"),
+          sum(Tokenize.checksumCol(col("tokens"))).as("checksum_sum"))
+        .orderBy("source")
+    }),
+
     // Schema evolution: documents ingested as two batches with different
     // schemas (lang/n_chars added mid-stream); rows that predate a column
     // must read null for it, everything else must survive bit-identically
@@ -584,6 +601,28 @@ object SparkEntry {
         |       md5(text) AS text_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q_datasource" ->
+      """WITH vocab AS (
+        |  SELECT word, row_number() OVER (ORDER BY word) - 1 AS tid
+        |  FROM (SELECT DISTINCT unnest(string_split(text,' ')) AS word FROM documents)
+        |), pairs AS (
+        |  SELECT doc_id, source, unnest(string_split(text,' ')) AS word,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents
+        |), per_doc AS (
+        |  SELECT p.doc_id, p.source, count(*) AS n_tok, sum(v.tid * p.pos) AS checksum
+        |  FROM pairs p JOIN vocab v ON v.word = p.word
+        |  GROUP BY p.doc_id, p.source
+        |)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |       CAST(sum(checksum) AS BIGINT) AS checksum_sum
+        |FROM per_doc
+        |WHERE source IN ('src1', 'src2')
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_schema_evolution" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

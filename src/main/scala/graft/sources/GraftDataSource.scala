@@ -1,0 +1,335 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.FilterApi
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.functions.{array_position, col}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.codec.{IntBlocks, StrBlocks}
+import graft.table.{GenericTable, GraftTable}
+
+/** Spark DataSource V2 read path for graft token tables:
+  * `spark.read.format("graft").load(tableDir)` or
+  * `CREATE TABLE t USING graft OPTIONS (path '...')`.
+  *
+  * What Catalyst hands the connector is used for real work at plan time:
+  *   - column pruning (`SupportsPushDownRequiredColumns`) reaches the
+  *     parquet scan — a `SELECT n_tok` reads ONLY the `pl_n_tok` payload
+  *     column, never the token/string payloads (≈half the read volume at
+  *     100 TB);
+  *   - `doc_id`/`source` equality and IN filters
+  *     (`SupportsPushDownFilters`) prune whole BLOCKS on the driver via
+  *     the manifest zone maps (doc_id min/max, src_list) before any
+  *     executor starts, and the surviving block ids become a parquet
+  *     row-group + record filter inside each file. Filters are also left
+  *     in the residual plan, so correctness never depends on pruning;
+  *   - `SupportsReportStatistics` reports the snapshot's exact row/byte
+  *     totals, so the optimizer can (e.g.) choose a broadcast join of a
+  *     decoded dimension table without scanning it.
+  *
+  * The generic (any-schema) lane stays on [[GenericTable.decode]] and the
+  * catalog views; this connector serves the fixed token schema, where the
+  * per-block payload decode can emit `InternalRow`s directly.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft reads need a table path: .load(dir)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    pathOf(options) // existence is validated in getTable
+    GraftDataSource.TokenSchema
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftSparkTable(properties.get("path"))
+}
+
+object GraftDataSource {
+
+  /** The decoded token-table schema (matches [[GraftTable.decode]]). */
+  val TokenSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = true),
+    StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = true),
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("source", StringType, nullable = true)))
+}
+
+class GraftSparkTable(tableDir: String) extends Table with SupportsRead {
+
+  private lazy val snap = {
+    val s = GraftTable.currentSnapshot(SparkSession.active, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed graft table at $tableDir"))
+    require(!GenericTable.isGeneric(s),
+      s"$tableDir is a generic-lane table — read it via GenericTable.decode " +
+        "or its catalog view (the DSv2 connector serves the token schema)")
+    s
+  }
+
+  override def name(): String = s"graft:`$tableDir`"
+
+  override def schema(): StructType = GraftDataSource.TokenSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(tableDir, snap)
+}
+
+class GraftScanBuilder(tableDir: String, snap: GraftTable.Snapshot)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = GraftDataSource.TokenSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept doc_id / source equality + IN for block pruning; every filter
+    * stays residual (returned back), so pruning is a pure optimization.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("doc_id", _: String) => true
+      case In("doc_id", vs) => vs.forall(_.isInstanceOf[String])
+      case EqualTo("source", _: String) => true
+      case In("source", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve canonical column order; an empty prune (count(*)) still
+    // needs row multiplicity — keep n_tok, the cheapest payload
+    val keep = requiredSchema.fieldNames.toSet
+    val fields = GraftDataSource.TokenSchema.fields.filter(f => keep.contains(f.name))
+    required =
+      if (fields.nonEmpty) StructType(fields)
+      else StructType(GraftDataSource.TokenSchema.fields.filter(_.name == "n_tok"))
+  }
+
+  override def build(): Scan = new GraftScan(tableDir, snap, required, pushed)
+}
+
+/** One partition = one parquet data file (+ the surviving block ids of its
+  * version, when the pushed filters pruned any).
+  */
+final case class GraftInputPartition(
+    file: String,
+    allowedBlocks: Option[Array[Int]]) extends InputPartition
+
+class GraftScan(
+    tableDir: String,
+    snap: GraftTable.Snapshot,
+    required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(snap.bytesTotal)
+    override def numRows(): OptionalLong = OptionalLong.of(snap.rowCount)
+  }
+
+  /** (docIdValues, sourceValues) the pushed filters demand (conjunctive). */
+  private def pushedValues: (Seq[String], Seq[String]) = {
+    var docIds = Seq.empty[String]
+    var sources = Seq.empty[String]
+    pushed.foreach {
+      case EqualTo("doc_id", v: String) => docIds = Seq(v)
+      case In("doc_id", vs) => docIds = vs.map(_.asInstanceOf[String]).toSeq
+      case EqualTo("source", v: String) => sources = Seq(v)
+      case In("source", vs) => sources = vs.map(_.asInstanceOf[String]).toSeq
+      case _ =>
+    }
+    (docIds, sources)
+  }
+
+  /** Driver-side zone-map pruning: blocks whose [doc_id_min, doc_id_max]
+    * can hold one of the doc_ids AND whose src_list intersects the sources.
+    * Blocks with unparseable bounds / overflowed src_list stay (never
+    * wrongly pruned). Returns ver -> allowed block ids; None = no pruning.
+    */
+  private lazy val allowedByVer: Option[Map[Int, Array[Int]]] = {
+    val (docIds, sources) = pushedValues
+    if (docIds.isEmpty && sources.isEmpty) None
+    else {
+      val spark = SparkSession.active
+      var man = GraftTable.readManifest(spark, tableDir, snap)
+      docIds.flatMap(v => scala.util.Try(v.toLong).toOption) match {
+        case nums if nums.nonEmpty && nums.length == docIds.length =>
+          val lo = col("doc_id_min").cast("long")
+          val hi = col("doc_id_max").cast("long")
+          man = man.where(lo.isNull || hi.isNull ||
+            nums.map(n => lo.leq(n) && hi.geq(n)).reduce(_ || _))
+        case _ => // non-numeric doc_id: bounds are numeric, cannot prune
+      }
+      if (sources.nonEmpty)
+        man = man.where(col("src_list").isNull ||
+          sources.map(s => array_position(col("src_list"), s) > 0).reduce(_ || _))
+      val rows = man.select(col("ver").cast("int"), col("block_id").cast("int"))
+        .collect()
+      Some(rows.groupBy(_.getInt(0)).map { case (v, rs) =>
+        v -> rs.map(_.getInt(1)).distinct.sorted
+      })
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parts = Seq.newBuilder[InputPartition]
+    snap.dataDirs.foreach { d =>
+      val ver = d.substring(d.lastIndexOf("/v") + 2).toInt
+      val allowed = allowedByVer.map(_.getOrElse(ver, Array.empty[Int]))
+      if (!allowed.exists(_.isEmpty)) { // fully-pruned version: skip its files
+        val dir = new HPath(s"$tableDir/$d")
+        val fs = dir.getFileSystem(conf)
+        fs.listStatus(dir).foreach { st =>
+          val n = st.getPath.getName
+          if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+            parts += GraftInputPartition(st.getPath.toString, allowed)
+        }
+      }
+    }
+    parts.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required.fieldNames)
+
+  override def description(): String = {
+    val pruned = allowedByVer.map(m => m.values.map(_.length).sum.toString)
+      .getOrElse("all")
+    s"graft blocks=$pruned/${snap.blocksEncoded} " +
+      s"columns=[${required.fieldNames.mkString(",")}] " +
+      s"pushed=[${pushed.mkString(",")}]"
+  }
+}
+
+class GraftReaderFactory(columns: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition], columns)
+}
+
+/** Decodes one parquet data file block by block, emitting InternalRows of
+  * the projected columns. Reads ONLY the payload columns the projection
+  * needs (parquet column projection); pruned block ids are skipped by a
+  * parquet row-group/record filter before their payloads are materialized.
+  */
+class GraftPartitionReader(part: GraftInputPartition, columns: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val needDoc = columns.contains("doc_id")
+  private val needTok = columns.contains("tokens")
+  private val needN = columns.contains("n_tok") || needTok // lens drive slicing
+  private val needSrc = columns.contains("source")
+
+  private val reader = {
+    val conf = new Configuration()
+    val path = new HPath(part.file)
+    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    val fileSchema = try footer.getFooter.getFileMetaData.getSchema finally footer.close()
+    val names = Seq("block_id") ++
+      (if (needDoc) Seq("pl_doc_id") else Nil) ++
+      (if (needTok) Seq("pl_tokens") else Nil) ++
+      (if (needN) Seq("pl_n_tok") else Nil) ++
+      (if (needSrc) Seq("pl_source") else Nil)
+    val proj = new MessageType(fileSchema.getName,
+      names.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
+    val b = ParquetReader.builder(new GroupReadSupport(), path).withConf(conf)
+    part.allowedBlocks match {
+      case Some(ids) if ids.length <= 65536 =>
+        val hs = new java.util.HashSet[Integer]()
+        ids.foreach(id => hs.add(Int.box(id)))
+        b.withFilter(FilterCompat.get(
+          FilterApi.in(FilterApi.intColumn("block_id"), hs))).build()
+      case _ => b.build()
+    }
+  }
+
+  private val allowed = part.allowedBlocks.map(ids => ids.toSet)
+
+  // current block state
+  private var docIds: Array[String] = _
+  private var lens: Array[Int] = _
+  private var flat: Array[Int] = _
+  private var srcs: Array[String] = _
+  private var nRows = 0
+  private var i = 0
+  private var off = 0
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (i >= nRows) {
+      val g = reader.read()
+      if (g == null) return false
+      val blockId = g.getInteger("block_id", 0)
+      if (allowed.forall(_.contains(blockId))) {
+        if (needDoc) docIds = StrBlocks.decode(g.getBinary("pl_doc_id", 0).getBytes)
+        if (needN) lens = IntBlocks.decode(g.getBinary("pl_n_tok", 0).getBytes)
+        if (needTok) flat = IntBlocks.decode(g.getBinary("pl_tokens", 0).getBytes)
+        if (needSrc) srcs = StrBlocks.decode(g.getBinary("pl_source", 0).getBytes)
+        nRows =
+          if (needN) lens.length
+          else if (needDoc) docIds.length
+          else srcs.length
+        i = 0
+        off = 0
+      }
+    }
+    val vals = new Array[Any](columns.length)
+    var c = 0
+    while (c < columns.length) {
+      vals(c) = columns(c) match {
+        case "doc_id" => UTF8String.fromString(docIds(i))
+        case "tokens" =>
+          UnsafeArrayData.fromPrimitiveArray(
+            java.util.Arrays.copyOfRange(flat, off, off + lens(i)))
+        case "n_tok" => lens(i)
+        case "source" => UTF8String.fromString(srcs(i))
+      }
+      c += 1
+    }
+    if (needTok) off += lens(i)
+    i += 1
+    current = new GenericInternalRow(vals)
+    true
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = reader.close()
+}
