@@ -156,6 +156,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Generic-lane range decode: key zone maps (key_min/key_max per block)
+    // prune the lineitem table down to the orderkey slice before any
+    // payload is decoded; the oracle recomputes the slice from the source
+    "q_decode_range_generic" -> ((s, dir) => {
+      val tdir = lineitemTableDir(s, dir)
+      GenericTable.decodeRange(s, tdir, 1000L, 2000L)
+        .agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum(col("l_orderkey").cast("decimal(38,0)")).cast("decimal(38,0)").as("sum_okey"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"))
+    }),
+
     // DataSource V2 read path: the same encoded table consumed via
     // spark.read.format("graft") with a pushed source filter — the filter
     // prunes blocks through the manifest src_list zone maps at plan time,
@@ -601,6 +613,13 @@ object SparkEntry {
         |       md5(text) AS text_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q_decode_range_generic" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(l_orderkey AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_okey,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
 
     "q_datasource" ->
       """WITH vocab AS (

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.table.GraftTable
+import graft.table.{GenericTable, GraftTable}
 
 /** Structured Streaming ingest into the encoded table: each micro-batch is
   * appended as its own set of blocks via [[GraftTable.append]] inside
@@ -61,6 +61,48 @@ object StreamingEncode {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, tableDir, opts); ()
+      }
+      .start()
+
+  /** Generic-lane twin of [[applyBatch]]: any supported schema, same
+    * batchId-idempotent exactly-once contract, schema evolution included
+    * (a stream whose schema gains a column keeps appending; earlier rows
+    * read null for it).
+    */
+  def applyBatchGeneric(
+      batch: DataFrame,
+      batchId: Long,
+      tableDir: String,
+      keyCol: String = "",
+      opts: GraftTable.Options = GraftTable.Options()): Boolean = {
+    val spark = batch.sparkSession
+    val applied = GraftTable.currentSnapshot(spark, tableDir)
+      .flatMap(_.stats.toMap.get(BatchKey)).map(_.toLong)
+    if (applied.exists(batchId <= _)) false
+    else if (batch.isEmpty) false
+    else {
+      val meta = Map(BatchKey -> batchId.toString)
+      if (GraftTable.currentSnapshot(spark, tableDir).isEmpty)
+        GenericTable.encode(batch, tableDir, keyCol, opts, extraMeta = meta)
+      else GenericTable.append(batch, tableDir, opts, extraMeta = meta)
+      true
+    }
+  }
+
+  /** Micro-batch ingest of ANY supported schema into a generic table. */
+  def startGeneric(
+      stream: DataFrame,
+      tableDir: String,
+      checkpointDir: String,
+      keyCol: String = "",
+      opts: GraftTable.Options = GraftTable.Options(),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchGeneric(batch, batchId, tableDir, keyCol, opts); ()
       }
       .start()
 }

@@ -200,11 +200,20 @@ object GenericTable {
     * present, else the first column). Idempotent: an unchanged input
     * resumes as a no-op; a changed input commits a fresh version.
     */
+  /** `stream_*` metadata carried forward so interleaved commits never drop
+    * the streaming sink's exactly-once watermark (same contract as the
+    * token lane's carriedMeta).
+    */
+  private def carriedMeta(parent: Option[Snapshot]): Map[String, String] =
+    parent.map(_.stats.filter(_._1.startsWith("stream_")).toMap)
+      .getOrElse(Map.empty)
+
   def encode(
       df: DataFrame,
       tableDir: String,
       keyCol: String = "",
-      opts: Options = Options()): EncodeResult = {
+      opts: Options = Options(),
+      extraMeta: Map[String, String] = Map.empty): EncodeResult = {
     val spark = df.sparkSession
     val schema = df.schema
     val plan = planOf(schema)
@@ -243,9 +252,10 @@ object GenericTable {
         p.contentSig, complete = true)
     }
     val ver = cur.map(_.version).getOrElse(0) + 1
-    val statsFields = Seq(
+    val statsFields = (Map(
       "rows" -> rows.toString, SchemaKey -> schema.json, KeyKey -> key,
-      "generic_leaves" -> leaves.map(l => s"${l.kind}:${l.name}").mkString(""))
+      "generic_leaves" -> leaves.map(l => s"${l.kind}:${l.name}").mkString("")) ++
+      carriedMeta(cur) ++ extraMeta).toSeq
 
     if (rows == 0L) {
       val snapshotId = Hashing.sha256Hex(s"v$ver;generic;fp=$fingerprint;empty")
@@ -370,7 +380,8 @@ object GenericTable {
   def append(
       batch: DataFrame,
       tableDir: String,
-      opts: Options = Options()): EncodeResult = {
+      opts: Options = Options(),
+      extraMeta: Map[String, String] = Map.empty): EncodeResult = {
     val spark = batch.sparkSession
     val cur = GraftTable.currentSnapshot(spark, tableDir)
     if (cur.isEmpty) return encode(batch, tableDir, opts = opts)
@@ -463,12 +474,13 @@ object GenericTable {
     val blocksDone = tot.getLong(0)
     val contentSig = f"${tot.getLong(4)}%016x"
     val numBlocks = parent.numBlocks + newNumBlocks
-    val statsFields = Seq(
+    val statsFields = (Map(
       "rows" -> tot.getLong(1).toString,
       SchemaKey -> merged.json,
       WriteSchemaKey -> schema.json,
       KeyKey -> key,
-      "generic_leaves" -> leaves.map(l => s"${l.kind}:${l.name}").mkString(""))
+      "generic_leaves" -> leaves.map(l => s"${l.kind}:${l.name}").mkString("")) ++
+      carriedMeta(cur) ++ extraMeta).toSeq
     val snapshotId = Hashing.sha256Hex(
       s"v$ver;generic-append;parent=${parent.snapshotId};fp=$fingerprint;" +
         s"bounds=${GraftTable.boundsSig(bounds)};blocks=$blocksDone/$numBlocks;" +
@@ -568,12 +580,33 @@ object GenericTable {
     * evolution. The per-version frames union by position (same projected
     * column list).
     */
+  /** Decode only rows whose range key falls in [lo, hi]: block pruning on
+    * the per-block key_min/key_max zone maps (a plain predicate on the
+    * block files, so parquet row-group statistics skip whole groups), then
+    * an exact row filter on the recomputed key. Meaningful when the key
+    * strategy is order-preserving (integral / numeric-string / date /
+    * timestamp keys — `generic:<key>` in the snapshot); a hash-keyed
+    * table's ranges are hash ranges (resume/shard math, not user queries).
+    */
+  def decodeRange(
+      spark: SparkSession, tableDir: String, lo: Long, hi: Long): DataFrame = {
+    val snap = GraftTable.currentSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+    val schema = readSchemaOf(snap)
+    val key = snap.stats.toMap.apply(KeyKey)
+    val pruned = decodeFields(spark, tableDir, snap, schema,
+      schema.fieldNames.toIndexedSeq,
+      col("key_max").geq(lo) && col("key_min").leq(hi))
+    pruned.where(keyExprOf(key, schema(key).dataType).between(lo, hi))
+  }
+
   private def decodeFields(
       spark: SparkSession,
       tableDir: String,
       snap: Snapshot,
       readSchema: StructType,
-      fieldNames: IndexedSeq[String]): DataFrame = {
+      fieldNames: IndexedSeq[String],
+      blockPredicate: Column = lit(true)): DataFrame = {
     val wanted = readSchema.fields.toIndexedSeq.filter(f => fieldNames.contains(f.name))
     if (snap.dataDirs.isEmpty)
       return spark.createDataFrame(
@@ -606,6 +639,7 @@ object GenericTable {
             GraftSql.expression(col(s"pl_$i")), l.kind)).as(s"c$i")
         }
         val blocksDf = spark.read.parquet(dirs.map(d => s"$tableDir/$d"): _*)
+          .where(blockPredicate)
         val exploded = blocksDf.select(explode(arrays_zip(zipped: _*)).as("r"))
         def get(name: String): Column = col("r").getField(s"c${leafIdx(name)}")
         exploded.select(wanted.map { f =>

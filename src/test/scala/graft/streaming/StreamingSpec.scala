@@ -266,6 +266,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(mism == 0)
   }
 
+  test("generic streaming ingest: exactly-once, schema evolution mid-stream") {
+    val dir = Files.createTempDirectory("graft-gstream").toString
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    val b0 = (0 until 100).toDF("k").select(
+      col("k").cast("long").as("id"), concat(lit("a"), col("k")).as("a"))
+    assert(StreamingEncode.applyBatchGeneric(b0, 0L, dir, "id", opts))
+    // replay of the same batchId is skipped
+    assert(!StreamingEncode.applyBatchGeneric(b0, 0L, dir, "id", opts))
+    assert(graft.table.GenericTable.decode(spark, dir).count() == 100)
+    // the stream's schema evolves: batch 1 carries an extra column
+    val b1 = (100 until 150).toDF("k").select(
+      col("k").cast("long").as("id"), concat(lit("a"), col("k")).as("a"),
+      (col("k") * 2).cast("long").as("extra"))
+    assert(StreamingEncode.applyBatchGeneric(b1, 1L, dir, "id", opts))
+    val d = graft.table.GenericTable.decode(spark, dir)
+    assert(d.columns.toSeq == Seq("id", "a", "extra"))
+    assert(d.count() == 150 && d.where(col("extra").isNull).count() == 100)
+    // an old batchId arriving after newer commits stays skipped
+    assert(!StreamingEncode.applyBatchGeneric(b0, 0L, dir, "id", opts))
+    assert(graft.table.GenericTable.decode(spark, dir).count() == 150)
+  }
+
   test("streaming ingest: micro-batches append and round-trip") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-stream").toString

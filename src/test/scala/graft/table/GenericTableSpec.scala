@@ -270,6 +270,22 @@ class GenericTableSpec extends AnyFunSuite {
     assert(cols == Set("id", "a", "b", "c"))
   }
 
+  test("generic decodeRange prunes on key zone maps across append versions") {
+    val mk = (lo: Int, hi: Int) => (lo until hi).toDF("k").select(
+      col("k").cast("long").as("id"), concat(lit("s"), col("k")).as("s"))
+    val dir = tmpDir("grange")
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    GenericTable.encode(mk(0, 500), dir, keyCol = "id", opts)
+    GenericTable.append(mk(500, 1000), dir, opts)
+    val out = GenericTable.decodeRange(spark, dir, 480L, 520L)
+    val got: Array[Long] = out.select("id").collect().map(_.getLong(0)).sorted
+    val want: Array[Long] = (480L to 520L).toArray
+    assert(got.sameElements(want), got.mkString(","))
+    // the zone-map predicate reaches the parquet scan (row-group pruning)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("key_min") && plan.contains("key_max"), plan)
+  }
+
   test("token schema through the generic lane agrees with the specialized lane") {
     val tokens = Tokenize.tokenTable(spark, "/root/testdata/sf0.001").toDF()
     val dirG = tmpDir("lanegen")
