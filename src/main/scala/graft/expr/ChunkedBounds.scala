@@ -48,9 +48,12 @@ object BoundsChunks {
   def clearCache(): Unit = cache.clear()
 
   private[expr] def chunk(
-      path: String, chunkId: Int, numBounds: Long,
+      path: String, fileId: String, chunkId: Int, numBounds: Long,
       conf: SerializableHadoopConf): Array[Long] =
-    cache.computeIfAbsent(s"$path#$chunkId", _ => {
+    // fileId (length:mtime, resolved on the DRIVER at plan time) keys the
+    // cache alongside the path: recreating a table at the same path must
+    // not serve a long-lived executor stale chunks of the old bounds
+    cache.computeIfAbsent(s"$path@$fileId#$chunkId", _ => {
       val start = chunkId.toLong * ChunkSize
       val len = math.min(ChunkSize.toLong, numBounds - start).toInt
       val buf = new Array[Byte](len * 8)
@@ -75,12 +78,12 @@ object BoundsChunks {
     * chunk yields the global block id.
     */
   def rangeBucketChunked(
-      key: Long, coarse: Array[Long], path: String, numBounds: Long,
-      conf: SerializableHadoopConf): Int = {
+      key: Long, coarse: Array[Long], path: String, fileId: String,
+      numBounds: Long, conf: SerializableHadoopConf): Int = {
     val c = GraftRuntime.rangeBucket(key, coarse)
     val start = c.toLong * ChunkSize
     if (start >= numBounds) numBounds.toInt // beyond every bound: last block
-    else start.toInt + GraftRuntime.rangeBucket(key, chunk(path, c, numBounds, conf))
+    else start.toInt + GraftRuntime.rangeBucket(key, chunk(path, fileId, c, numBounds, conf))
   }
 }
 
@@ -94,6 +97,7 @@ case class RangeBucketChunked(
     child: Expression,
     coarseBc: Broadcast[Array[Long]],
     binPath: String,
+    fileId: String,
     numBounds: Long,
     confBc: Broadcast[SerializableHadoopConf])
     extends UnaryExpression {
@@ -107,7 +111,7 @@ case class RangeBucketChunked(
 
   override protected def nullSafeEval(input: Any): Any =
     BoundsChunks.rangeBucketChunked(
-      input.asInstanceOf[Long], coarse, binPath, numBounds, conf)
+      input.asInstanceOf[Long], coarse, binPath, fileId, numBounds, conf)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val coarseRef = ctx.addReferenceObj(
@@ -121,8 +125,9 @@ case class RangeBucketChunked(
       "graft.expr.SerializableHadoopConf", "graftConf",
       v => s"$v = (graft.expr.SerializableHadoopConf) $confRef.value();")
     val pathLit = binPath.replace("\\", "\\\\").replace("\"", "\\\"")
+    val fileIdLit = fileId.replace("\\", "\\\\").replace("\"", "\\\"")
     defineCodeGen(ctx, ev, c =>
-      s"""graft.expr.BoundsChunks.rangeBucketChunked($c, $coarseName, "$pathLit", ${numBounds}L, $confName)""")
+      s"""graft.expr.BoundsChunks.rangeBucketChunked($c, $coarseName, "$pathLit", "$fileIdLit", ${numBounds}L, $confName)""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): RangeBucketChunked =

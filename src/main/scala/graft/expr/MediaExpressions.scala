@@ -80,6 +80,9 @@ object MediaRuntime {
       var off = 12
       while (off + 8 <= b.length) {
         val size = intLE(b, off + 4)
+        // a corrupt/hostile chunk size must fail loud, not spin the task
+        // forever (size ≤ -8 makes the step non-positive) or walk backwards
+        require(size >= 0, s"corrupt WAV chunk size $size at offset $off")
         if (b(off) == 'd' && b(off + 1) == 'a' && b(off + 2) == 't' && b(off + 3) == 'a')
           return off + 8
         off += 8 + size + (size & 1) // chunks are word-aligned
@@ -149,7 +152,8 @@ object MediaRuntime {
     val bits = shortLE(bytes, 34)
     val dataOff = bodyOffset(bytes)
     val dataSize = intLE(bytes, dataOff - 4)
-    require(dataOff + dataSize <= bytes.length, "truncated WAV data chunk")
+    require(dataSize >= 0 && dataOff + dataSize <= bytes.length,
+      "truncated or corrupt WAV data chunk")
     val blockAlign = channels * (bits / 8)
     val nSamples = if (blockAlign == 0) 0L else dataSize.toLong / blockAlign
     InternalRow(channels, sampleRate, bits, nSamples, dataSize.toLong)

@@ -211,7 +211,7 @@ class GraftScan(
     val conf = spark.sparkContext.hadoopConfiguration
     val parts = Seq.newBuilder[InputPartition]
     snap.dataDirs.foreach { d =>
-      val ver = d.substring(d.lastIndexOf("/v") + 2).toInt
+      val ver = GraftTable.versionOfDir(d)
       val allowed = allowedByVer.map(_.getOrElse(ver, Array.empty[Int]))
       if (!allowed.exists(_.isEmpty)) { // fully-pruned version: skip its files
         val dir = new HPath(s"$tableDir/$d")
@@ -227,7 +227,9 @@ class GraftScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required.fieldNames)
+    new GraftReaderFactory(required.fieldNames,
+      new graft.expr.SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 
   override def description(): String = {
     val pruned = allowedByVer.map(m => m.values.map(_.length).sum.toString)
@@ -238,9 +240,11 @@ class GraftScan(
   }
 }
 
-class GraftReaderFactory(columns: Array[String]) extends PartitionReaderFactory {
+class GraftReaderFactory(
+    columns: Array[String],
+    conf: graft.expr.SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition], columns)
+    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition], columns, conf)
 }
 
 /** Decodes one parquet data file block by block, emitting InternalRows of
@@ -248,8 +252,10 @@ class GraftReaderFactory(columns: Array[String]) extends PartitionReaderFactory 
   * needs (parquet column projection); pruned block ids are skipped by a
   * parquet row-group/record filter before their payloads are materialized.
   */
-class GraftPartitionReader(part: GraftInputPartition, columns: Array[String])
-    extends PartitionReader[InternalRow] {
+class GraftPartitionReader(
+    part: GraftInputPartition,
+    columns: Array[String],
+    hconf: graft.expr.SerializableHadoopConf) extends PartitionReader[InternalRow] {
 
   private val needDoc = columns.contains("doc_id")
   private val needTok = columns.contains("tokens")
@@ -257,7 +263,9 @@ class GraftPartitionReader(part: GraftInputPartition, columns: Array[String])
   private val needSrc = columns.contains("source")
 
   private val reader = {
-    val conf = new Configuration()
+    // the DRIVER's Hadoop conf (spark.hadoop.* creds, fs impls) travels
+    // with the factory — a fresh Configuration() would drop it
+    val conf = new Configuration(hconf.value)
     val path = new HPath(part.file)
     val footer = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     val fileSchema = try footer.getFooter.getFileMetaData.getSchema finally footer.close()

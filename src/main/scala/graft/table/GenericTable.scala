@@ -84,13 +84,18 @@ object GenericTable {
     case DoubleType => Seq(Leaf(path, "f64", c))
     case FloatType => Seq(Leaf(path, "f32", c))
     case BinaryType => Seq(Leaf(path, "bin", c))
-    case ArrayType(IntegerType, _) => Seq(Leaf(path, "arr_int", c))
-    case ArrayType(ByteType | ShortType | BooleanType, _) =>
-      Seq(Leaf(path, "arr_int", c.cast(ArrayType(IntegerType))))
-    case ArrayType(LongType, _) => Seq(Leaf(path, "arr_long", c))
-    case ArrayType(StringType, _) => Seq(Leaf(path, "arr_str", c))
-    case ArrayType(FloatType, _) => Seq(Leaf(path, "arr_f32", c))
-    case ArrayType(DoubleType, _) => Seq(Leaf(path, "arr_f64", c))
+    // element-nullable arrays (schema containsNull=true) store through the
+    // `_n` kinds, whose flat stream carries a presence bitmap when nulls
+    // actually occur — a containsNull=false schema stays on the dense kind
+    case ArrayType(IntegerType, cn) =>
+      Seq(Leaf(path, if (cn) "arr_int_n" else "arr_int", c))
+    case ArrayType(ByteType | ShortType | BooleanType, cn) =>
+      Seq(Leaf(path, if (cn) "arr_int_n" else "arr_int",
+        c.cast(ArrayType(IntegerType, containsNull = cn))))
+    case ArrayType(LongType, cn) => Seq(Leaf(path, if (cn) "arr_long_n" else "arr_long", c))
+    case ArrayType(StringType, cn) => Seq(Leaf(path, if (cn) "arr_str_n" else "arr_str", c))
+    case ArrayType(FloatType, cn) => Seq(Leaf(path, if (cn) "arr_f32_n" else "arr_f32", c))
+    case ArrayType(DoubleType, cn) => Seq(Leaf(path, if (cn) "arr_f64_n" else "arr_f64", c))
     case st: StructType =>
       // shredding: leaves of a struct read null whenever the struct is
       // null; the presence leaf disambiguates null-struct from
@@ -105,8 +110,11 @@ object GenericTable {
       // maps shred into parallel key/value array leaves (thrift map<K,V>
       // parity); restored via map_from_arrays. A null map yields null
       // arrays on both legs, so no presence leaf is needed.
-      val keys = fieldLeaves(s"$path.__mk", map_keys(c), ArrayType(kt), nullable)
-      val values = fieldLeaves(s"$path.__mv", map_values(c), ArrayType(vt), nullable)
+      val vcn = dt.asInstanceOf[MapType].valueContainsNull
+      val keys = fieldLeaves(s"$path.__mk", map_keys(c),
+        ArrayType(kt, containsNull = false), nullable) // map keys are never null
+      val values = fieldLeaves(s"$path.__mv", map_values(c),
+        ArrayType(vt, containsNull = vcn), nullable)
       require(keys.length == 1 && values.length == 1, // both must be flat array kinds
         s"column $path: map key/value types (${kt.catalogString}, ${vt.catalogString}) " +
           "must be scalar (int/long/string/float/double)")
@@ -303,30 +311,7 @@ object GenericTable {
       case None => notDone
     }
 
-    val parallelism = spark.sparkContext.defaultParallelism
-    val encodeParts = GraftTable.encodePartitions(
-      numBlocks, parallelism, rows * leaves.length) // ~1 cell ≈ 1 token proxy
-    val kinds = leaves.map(_.kind).toArray
-    val outSchema = StructType(IndexedSeq(
-      StructField("block_id", IntegerType, nullable = false),
-      StructField("ver", IntegerType, nullable = false),
-      StructField("row_count", LongType, nullable = false),
-      StructField("key_min", LongType, nullable = false),
-      StructField("key_max", LongType, nullable = false),
-      StructField("plain_bytes", LongType, nullable = false),
-      StructField("row_xor", LongType, nullable = false),
-      StructField("row_sum", LongType, nullable = false)) ++
-      leaves.indices.map(i => StructField(s"pl_$i", BinaryType, nullable = false)))
-
-    val blocks = todo
-      .select(Seq(col("block_id"), col("_graft_key").as("k"),
-        col("_graft_rh").as("rh")) ++ leaves.map(l => col(quoted(l.name))): _*)
-      .repartition(encodeParts, col("block_id"))
-      .sortWithinPartitions(col("block_id"), col("k"), col("rh"))
-      .mapPartitions(it => GenericAssembler.assemble(it, ver, kinds))(Encoders.row(outSchema))
-
-    val dataDir = s"data/v$ver"
-    blocks.write.mode("overwrite").parquet(s"$tableDir/$dataDir")
+    val dataDir = writeBlocksVersion(todo, tableDir, ver, leaves, numBlocks, rows)
     val manifest = manifestOf(spark, s"$tableDir/$dataDir", leaves.length)
     val newBlocks = manifest.count()
     if (newBlocks == 0 && parent.nonEmpty) {
@@ -433,29 +418,7 @@ object GenericTable {
     val withBlocks = keyed.withColumn(
       "block_id", graft_range_bucket(col("_graft_key"), bcBounds))
 
-    val parallelism = spark.sparkContext.defaultParallelism
-    val encodeParts = GraftTable.encodePartitions(
-      newNumBlocks, parallelism, rows * leaves.length)
-    val kinds = leaves.map(_.kind).toArray
-    val outSchema = StructType(IndexedSeq(
-      StructField("block_id", IntegerType, nullable = false),
-      StructField("ver", IntegerType, nullable = false),
-      StructField("row_count", LongType, nullable = false),
-      StructField("key_min", LongType, nullable = false),
-      StructField("key_max", LongType, nullable = false),
-      StructField("plain_bytes", LongType, nullable = false),
-      StructField("row_xor", LongType, nullable = false),
-      StructField("row_sum", LongType, nullable = false)) ++
-      leaves.indices.map(i => StructField(s"pl_$i", BinaryType, nullable = false)))
-    val blocks = withBlocks
-      .select(Seq(col("block_id"), col("_graft_key").as("k"),
-        col("_graft_rh").as("rh")) ++ leaves.map(l => col(quoted(l.name))): _*)
-      .repartition(encodeParts, col("block_id"))
-      .sortWithinPartitions(col("block_id"), col("k"), col("rh"))
-      .mapPartitions(it => GenericAssembler.assemble(it, ver, kinds))(Encoders.row(outSchema))
-
-    val dataDir = s"data/v$ver"
-    blocks.write.mode("overwrite").parquet(s"$tableDir/$dataDir")
+    val dataDir = writeBlocksVersion(withBlocks, tableDir, ver, leaves, newNumBlocks, rows)
     val manifestDir = s"manifests/v$ver"
     manifestOf(spark, s"$tableDir/$dataDir", leaves.length)
       .write.mode("overwrite").json(s"$tableDir/$manifestDir")
@@ -496,6 +459,44 @@ object GenericTable {
     EncodeResult(ver, snapshotId, numBlocks, newNumBlocks.toLong, blocksDone,
       tot.getLong(1), 0L, tot.getLong(2), tot.getLong(3), contentSig,
       complete = parent.complete)
+  }
+
+  /** The shared block-encode pipeline of encode() and append(): one
+    * explicit hash exchange on block_id (spill-aware partition count),
+    * Tungsten sortWithinPartitions, streaming one-block-at-a-time
+    * assembly; writes `data/v<ver>` and returns its relative dir.
+    */
+  private def writeBlocksVersion(
+      withBlocks: DataFrame,
+      tableDir: String,
+      ver: Int,
+      leaves: Seq[Leaf],
+      numBlocks: Int,
+      rows: Long): String = {
+    val spark = withBlocks.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    val encodeParts = GraftTable.encodePartitions(
+      numBlocks, parallelism, rows * leaves.length) // ~1 cell ≈ 1 token proxy
+    val kinds = leaves.map(_.kind).toArray
+    val outSchema = StructType(IndexedSeq(
+      StructField("block_id", IntegerType, nullable = false),
+      StructField("ver", IntegerType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("key_min", LongType, nullable = false),
+      StructField("key_max", LongType, nullable = false),
+      StructField("plain_bytes", LongType, nullable = false),
+      StructField("row_xor", LongType, nullable = false),
+      StructField("row_sum", LongType, nullable = false)) ++
+      leaves.indices.map(i => StructField(s"pl_$i", BinaryType, nullable = false)))
+    val blocks = withBlocks
+      .select(Seq(col("block_id"), col("_graft_key").as("k"),
+        col("_graft_rh").as("rh")) ++ leaves.map(l => col(quoted(l.name))): _*)
+      .repartition(encodeParts, col("block_id"))
+      .sortWithinPartitions(col("block_id"), col("k"), col("rh"))
+      .mapPartitions(it => GenericAssembler.assemble(it, ver, kinds))(Encoders.row(outSchema))
+    val dataDir = s"data/v$ver"
+    blocks.write.mode("overwrite").parquet(s"$tableDir/$dataDir")
+    dataDir
   }
 
   /** Manifest from the WRITTEN data files: per-leaf codec evidence + sizes
@@ -560,8 +561,7 @@ object GenericTable {
       schema.fieldNames.filter(columns.contains).toIndexedSeq)
   }
 
-  private def versionOf(dataDir: String): Int =
-    dataDir.substring(dataDir.lastIndexOf("/v") + 2).toInt
+  private def versionOf(dataDir: String): Int = GraftTable.versionOfDir(dataDir)
 
   /** The schema a given version's blocks were WRITTEN with (schema
     * evolution means it can differ from the current read schema).

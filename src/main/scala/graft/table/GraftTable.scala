@@ -522,9 +522,13 @@ object GraftTable {
       val coarseBc = spark.sparkContext.broadcast(coarse)
       val confBc = spark.sparkContext.broadcast(
         new graft.expr.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      // file identity (length:mtime) distinguishes a re-created table at
+      // the same path in the executor-side chunk cache
+      val p = new Path(binPath)
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
       org.apache.spark.sql.GraftSql.column(graft.expr.RangeBucketChunked(
         org.apache.spark.sql.GraftSql.expression(key),
-        coarseBc, binPath, numBounds, confBc))
+        coarseBc, binPath, s"${st.getLen}:${st.getModificationTime}", numBounds, confBc))
     }
     override def sigHex(): String = sigThunk()
   }
@@ -673,6 +677,10 @@ object GraftTable {
     * until [[expireSnapshots]] reclaims its files — after which this
     * fails loud rather than returning a partial table.
     */
+  /** Version number of a `data/vN` / `manifests/vN` relative dir. */
+  private[graft] def versionOfDir(dir: String): Int =
+    dir.substring(dir.lastIndexOf("/v") + 2).toInt
+
   /** Snapshot metadata of a specific version, no file validation. */
   private[table] def snapshotVersion(
       spark: SparkSession, tableDir: String, version: Int): Option[Snapshot] =
@@ -900,7 +908,7 @@ object GraftTable {
     // nothing to merge: no fragment, or one fragment that is one block
     if (frag.isEmpty || (frag.size == 1 && fragBlocks <= 1)) return noop
 
-    def verOf(dir: String): Int = dir.substring(dir.lastIndexOf("/v") + 2).toInt
+    def verOf(dir: String): Int = versionOfDir(dir)
     val keepData = p.dataDirs.filterNot(d => frag(verOf(d)))
     val keepMan = p.manifestDirs.filterNot(d => frag(verOf(d)))
 

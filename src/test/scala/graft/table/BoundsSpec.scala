@@ -152,7 +152,7 @@ class BoundsSpec extends AnyFunSuite {
       keys.foreach { k =>
         val flat = GraftRuntime.rangeBucket(k, bounds)
         val chunked = BoundsChunks.rangeBucketChunked(
-          k, coarse, bin, bounds.length.toLong, conf)
+          k, coarse, bin, s"trial$trial", bounds.length.toLong, conf)
         assert(chunked == flat, s"trial $trial key $k: $chunked != $flat")
       }
     }

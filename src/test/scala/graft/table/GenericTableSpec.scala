@@ -212,6 +212,35 @@ class GenericTableSpec extends AnyFunSuite {
     assertSameRows(GenericTable.decodeAt(spark, dir, 2), base)
   }
 
+  test("null ARRAY ELEMENTS and null map values round-trip (no silent zeros)") {
+    val base = (0 until 300).toDF("k")
+    val df = base.select(
+      col("k").cast("long").as("id"),
+      // [k, null, k*2] every third row; whole-array null every 7th
+      when(pmod(col("k"), lit(7)) === 0, lit(null)).otherwise(
+        array(col("k"), when(pmod(col("k"), lit(3)) === 0, lit(null)).otherwise(col("k") * 2))
+      ).as("xs"),
+      array(when(pmod(col("k"), lit(5)) === 0, lit(null))
+        .otherwise(concat(lit("e"), col("k")))).as("ss"),
+      array(when(pmod(col("k"), lit(4)) === 0, lit(null))
+        .otherwise(col("k").cast("double") / 100)).as("ds"),
+      when(pmod(col("k"), lit(2)) === 0,
+        map_from_arrays(array(lit("a")), array(when(pmod(col("k"), lit(6)) === 0, lit(null))
+          .otherwise(col("k").cast("long"))))).as("m"))
+    val dir = tmpDir("nullelems")
+    GenericTable.encode(df, dir, keyCol = "id")
+    val d = GenericTable.decode(spark, dir)
+    def canon(x: DataFrame) = x.select(col("id"), col("xs"), col("ss"), col("ds"),
+      map_entries(col("m")).as("me"))
+    assertSameRows(canon(d), canon(df))
+    // the nulls actually survived (not zeros): count them on both sides
+    def nullElems(x: DataFrame) = x.agg(
+      sum(size(filter(col("xs"), e => e.isNull))).cast("long"),
+      sum(size(filter(col("ss"), e => e.isNull))).cast("long")).head()
+    assert(nullElems(d) == nullElems(df))
+    assert(nullElems(df).getLong(0) > 0 && nullElems(df).getLong(1) > 0)
+  }
+
   test("generic append: same-schema batches accumulate and round-trip") {
     val mk = (lo: Int, hi: Int) => (lo until hi).toDF("k").select(
       col("k").cast("long").as("id"),
