@@ -23,8 +23,9 @@ import graft.table.GraftTable.{EncodeResult, Options, Snapshot}
   * long — restored to the original type on decode), and every leaf payload
   * auto-selects among the engine's codec families (IntBlocks / LongBlocks /
   * StrBlocks / PrimBlocks, NULLABLE-wrapped when the slice has nulls).
-  * Unsupported shapes (maps, arrays of structs/arrays, decimals) fail loud
-  * at plan time, never silently drop.
+  * Maps shred into key/value array leaves, decimals (precision ≤ 18) store
+  * as unscaled longs. Unsupported shapes (arrays of structs/arrays, wider
+  * decimals) fail loud at plan time, never silently drop.
   *
   * Shares the token table's scale machinery: hash-strided sampled range
   * bounds ([[GraftTable.computeBounds]] — distributed, layout-independent),
@@ -81,6 +82,12 @@ object GenericTable {
     case TimestampType => Seq(Leaf(path, "long", unix_micros(c)))
     case TimestampNTZType => Seq(Leaf(path, "long", ntzMicros(c)))
     case StringType => Seq(Leaf(path, "string", c))
+    case d: DecimalType if d.precision <= 18 =>
+      // unscaled long (exact: decimal × 10^s is scale arithmetic, and
+      // precision ≤ 18 keeps the unscaled value inside int64)
+      Seq(Leaf(path, "long",
+        (c * lit(new java.math.BigDecimal(
+          java.math.BigInteger.TEN.pow(d.scale)))).cast(LongType)))
     case DoubleType => Seq(Leaf(path, "f64", c))
     case FloatType => Seq(Leaf(path, "f32", c))
     case BinaryType => Seq(Leaf(path, "bin", c))
@@ -122,8 +129,8 @@ object GenericTable {
     case other => throw new UnsupportedOperationException(
       s"column $path: type ${other.catalogString} is not supported by the generic " +
         "encoder (supported: integral/bool/date/timestamp/string/float/double/" +
-        "binary, arrays of int/long/float/double/string, maps of those scalars, " +
-        "nested structs)")
+        "binary/decimal(<=18), arrays of int/long/float/double/string, maps of " +
+        "those scalars, nested structs)")
   }
 
   /** Rebuild the original column from decoded storage leaves. */
@@ -136,6 +143,9 @@ object GenericTable {
       case DateType => date_from_unix_date(get(path))
       case TimestampType => timestamp_micros(get(path))
       case TimestampNTZType => ntzFromMicros(get(path))
+      case d: DecimalType if d.precision <= 18 =>
+        (get(path).cast(DecimalType(38, 0)) *
+          lit(new java.math.BigDecimal(java.math.BigInteger.ONE, d.scale))).cast(d)
       case ArrayType(ByteType | ShortType | BooleanType, _) => get(path).cast(dt)
       case _: ArrayType => get(path).cast(dt) // realign containsNull flags
       case st: StructType =>
@@ -166,6 +176,10 @@ object GenericTable {
       case DateType => coalesce(unix_date(c).cast(LongType), xxhash64(c))
       case TimestampType => coalesce(unix_micros(c), xxhash64(c))
       case TimestampNTZType => coalesce(ntzMicros(c), xxhash64(c))
+      case d: DecimalType if d.precision <= 18 =>
+        // unscaled value orders identically to the decimal (fixed scale)
+        coalesce((c * lit(new java.math.BigDecimal(
+          java.math.BigInteger.TEN.pow(d.scale)))).cast(LongType), xxhash64(c))
       case _ => xxhash64(c)
     }
   }
@@ -459,6 +473,104 @@ object GenericTable {
     EncodeResult(ver, snapshotId, numBlocks, newNumBlocks.toLong, blocksDone,
       tot.getLong(1), 0L, tot.getLong(2), tot.getLong(3), contentSig,
       complete = parent.complete)
+  }
+
+  /** Incremental compaction for the generic lane (mirror of
+    * [[GraftTable.compact]]): only versions whose average block fill is
+    * below `fillFactor × targetRowsPerBlock` are decoded (under their own
+    * write plans) and merged into one new version encoded under the
+    * CURRENT merged schema — compaction doubles as physical schema
+    * upgrade, with pre-evolution rows materializing their nulls. Full
+    * versions keep their files untouched; [[GraftTable.expireSnapshots]]
+    * then reclaims the dropped fragment dirs.
+    */
+  def compact(
+      spark: SparkSession,
+      tableDir: String,
+      opts: Options = Options(),
+      fillFactor: Double = 0.5): EncodeResult = {
+    val p = GraftTable.currentSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+    require(isGeneric(p), s"$tableDir is a token table — use GraftTable.compact")
+    def noop = EncodeResult(p.version, p.snapshotId, p.numBlocks, 0L,
+      p.blocksEncoded, p.rowCount, p.tokenCount, p.bytesTotal, p.plainBytes,
+      p.contentSig, p.complete)
+    if (p.dataDirs.isEmpty) return noop
+
+    val man = GraftTable.readManifest(spark, tableDir, p)
+    val perVer = man.groupBy(col("ver").cast("int").as("ver"))
+      .agg(avg(col("row_count")).as("avg_rows"), count(lit(1)).as("blocks"))
+      .collect()
+    val frag = perVer
+      .filter(_.getDouble(1) < fillFactor * opts.targetRowsPerBlock)
+      .map(_.getInt(0)).toSet
+    val fragBlocks = perVer.filter(r => frag(r.getInt(0))).map(_.getLong(2)).sum
+    if (frag.isEmpty || (frag.size == 1 && fragBlocks <= 1)) return noop
+
+    val keepData = p.dataDirs.filterNot(d => frag(versionOf(d)))
+    val keepMan = p.manifestDirs.filterNot(d => frag(versionOf(d)))
+    val fragData = p.dataDirs.filter(d => frag(versionOf(d)))
+
+    // decode ONLY the fragmented versions, projected onto the merged schema
+    val merged = readSchemaOf(p)
+    val rows = decodeFields(spark, tableDir, p.copy(dataDirs = fragData),
+      merged, merged.fieldNames.toIndexedSeq)
+
+    val stats = p.stats.toMap
+    val key = stats(KeyKey)
+    val plan = planOf(merged)
+    val leaves = plan.flatMap(_._2)
+    val keyed = rows
+      .select(leaves.map(l => l.enc.as(l.name)) :+
+        keyExprOf(key, merged(key).dataType).as("_graft_key"): _*)
+      .withColumn("_graft_rh", xxhash64(leaves.map(l => col(quoted(l.name))): _*))
+      .cache()
+    try {
+      val nRows = keyed.count()
+      val ver = p.version + 1
+      val bounds = GraftTable.computeBounds(
+        keyed, nRows, opts.targetRowsPerBlock, opts.sampleRows)
+      val bcBounds = spark.sparkContext.broadcast(bounds)
+      val withBlocks = keyed.withColumn(
+        "block_id", graft_range_bucket(col("_graft_key"), bcBounds))
+      val dataDir = writeBlocksVersion(
+        withBlocks, tableDir, ver, leaves, bounds.length + 1, nRows)
+      val manifestDir = s"manifests/v$ver"
+      manifestOf(spark, s"$tableDir/$dataDir", leaves.length)
+        .write.mode("overwrite").json(s"$tableDir/$manifestDir")
+
+      val manifestDirs = keepMan :+ manifestDir
+      val dataDirs = keepData :+ dataDir
+      val all = spark.read.json(manifestDirs.map(d => s"$tableDir/$d"): _*)
+      val tot = all.agg(
+        count(lit(1)).as("blocks"), sum("row_count").as("rows"),
+        sum("bytes_total").as("bytes"), sum("plain_bytes").as("plain"),
+        expr("bit_xor(block_sig)").as("sig")).head()
+      val contentSig = f"${tot.getLong(4)}%016x"
+      val combinedFp = Hashing.sha256Hex(s"${p.inputFingerprint};compact=v$ver")
+      val statsFields = (Map(
+        "rows" -> tot.getLong(1).toString,
+        SchemaKey -> merged.json,
+        WriteSchemaKey -> merged.json,
+        KeyKey -> key,
+        "generic_leaves" -> leaves.map(l => s"${l.kind}:${l.name}").mkString("")) ++
+        carriedMeta(Some(p))).toSeq
+      val snapshotId = Hashing.sha256Hex(
+        s"v$ver;generic-compact;parent=${p.snapshotId};fp=$combinedFp;" +
+          s"compacted=${frag.toSeq.sorted.mkString(",")};rows=${tot.getLong(1)};" +
+          s"bytes=${tot.getLong(2)};sig=$contentSig")
+      val snap = Snapshot(ver, snapshotId, Some(p.snapshotId), combinedFp,
+        s"generic:$key", p.boundsDir, tot.getLong(0).toInt, tot.getLong(0),
+        complete = p.complete, tot.getLong(1), tokenCount = 0L,
+        tot.getLong(2), tot.getLong(3), contentSig, dataDirs, manifestDirs,
+        statsFields.sorted, java.time.Instant.now().toString)
+      GraftTable.writeString(
+        spark, s"$tableDir/metadata/v$ver.json", GraftTable.renderSnapshot(snap))
+      GraftTable.commitPointer(spark, tableDir, ver)
+      EncodeResult(ver, snapshotId, tot.getLong(0).toInt, bounds.length + 1L,
+        tot.getLong(0), tot.getLong(1), 0L, tot.getLong(2), tot.getLong(3),
+        contentSig, complete = p.complete)
+    } finally keyed.unpersist()
   }
 
   /** The shared block-encode pipeline of encode() and append(): one

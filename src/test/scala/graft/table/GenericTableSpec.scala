@@ -315,6 +315,69 @@ class GenericTableSpec extends AnyFunSuite {
     assert(plan.contains("key_min") && plan.contains("key_max"), plan)
   }
 
+  test("decimal columns round-trip exactly through unscaled-long storage") {
+    val df = (0 until 500).toDF("k").select(
+      col("k").cast("long").as("id"),
+      when(pmod(col("k"), lit(9)) === 0, lit(null)).otherwise(
+        ((col("k") * 7919 - 1500000).cast("decimal(18,4)") / 100).cast("decimal(12,2)"))
+        .as("price"),
+      (col("k").cast("decimal(5,0)") * -3).cast("decimal(9,3)").as("qty"))
+    val dir = tmpDir("decimals")
+    GenericTable.encode(df, dir, keyCol = "id")
+    val d = GenericTable.decode(spark, dir)
+    assert(d.schema("price").dataType == DecimalType(12, 2))
+    assert(d.schema("qty").dataType == DecimalType(9, 3))
+    assertSameRows(d, df)
+    // decimals beyond 18 digits of precision fail loud, never lossy
+    val wide = df.select(col("id"), col("price").cast("decimal(38,10)").as("p"))
+    val e = intercept[UnsupportedOperationException](
+      GenericTable.encode(wide, tmpDir("decwide")))
+    assert(e.getMessage.contains("not supported"))
+  }
+
+  test("generic compact merges only fragmented versions and upgrades schema") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir("gcompact")
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    // v1: a FULL version (several 64-row blocks)
+    val v1 = (0 until 320).toDF("k").select(
+      col("k").cast("long").as("id"), concat(lit("a"), col("k")).as("a"))
+    GenericTable.encode(v1, dir, keyCol = "id", opts)
+    // v2..v5: tiny fragmented appends, the last one evolving the schema
+    (1 to 3).foreach { i =>
+      GenericTable.append((320 + i * 10 until 330 + i * 10).toDF("k").select(
+        col("k").cast("long").as("id"), concat(lit("a"), col("k")).as("a")), dir, opts)
+    }
+    GenericTable.append((400 until 410).toDF("k").select(
+      col("k").cast("long").as("id"), concat(lit("a"), col("k")).as("a"),
+      (col("k") * 3).cast("long").as("b")), dir, opts)
+    val before = GenericTable.decode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getLong(2)))
+      .sortBy(_._1)
+
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtimes(sub: String) = fs.listStatus(new Path(s"$dir/$sub"))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val v1Before = mtimes("data/v1")
+
+    val res = GenericTable.compact(spark, dir, opts)
+    // v1 (full) untouched on disk; fragments merged into the new version
+    assert(mtimes("data/v1") == v1Before)
+    val after = GenericTable.decode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getLong(2)))
+      .sortBy(_._1)
+    assert(after.sameElements(before))
+    assert(res.version == 6)
+    // the merged version carries the evolved (merged) write schema
+    val live = GraftTable.currentSnapshot(spark, dir).get.dataDirs.map(
+      d => GraftTable.versionOfDir(d)).toSet
+    assert(live == Set(1, 6), live.toString)
+    // expire reclaims the dropped fragment dirs; decode still intact
+    val reclaimed = GraftTable.expireSnapshots(spark, dir)
+    assert(reclaimed.exists(_.startsWith("data/v2")))
+    assert(GenericTable.decode(spark, dir).count() == 360)
+  }
+
   test("token schema through the generic lane agrees with the specialized lane") {
     val tokens = Tokenize.tokenTable(spark, "/root/testdata/sf0.001").toDF()
     val dirG = tmpDir("lanegen")
