@@ -106,10 +106,31 @@ class GraftSparkTable(tableDir: String) extends Table with SupportsRead {
 }
 
 class GraftScanBuilder(tableDir: String, snap: GraftTable.Snapshot)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = GraftDataSource.TokenSchema
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
+
+  /** COUNT(*) with no filters and no GROUP BY answers from the snapshot's
+    * exact row total — a metadata-only query, no data file is opened (the
+    * Iceberg/parquet count optimization). Any filter or grouping falls
+    * back to the normal scan: zone-map pruning is conservative, counts
+    * must be exact.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) false
+    else { countPushed = true; true }
+  }
 
   /** Accept doc_id / source equality + IN for block pruning; every filter
     * stays residual (returned back), so pruning is a pure optimization.
@@ -137,8 +158,40 @@ class GraftScanBuilder(tableDir: String, snap: GraftTable.Snapshot)
       else StructType(GraftDataSource.TokenSchema.fields.filter(_.name == "n_tok"))
   }
 
-  override def build(): Scan = new GraftScan(tableDir, snap, required, pushed)
+  override def build(): Scan =
+    if (countPushed) new GraftCountScan(tableDir, snap)
+    else new GraftScan(tableDir, snap, required, pushed)
 }
+
+/** Metadata-only COUNT(*): one partition, one row, zero data files read. */
+class GraftCountScan(tableDir: String, snap: GraftTable.Snapshot)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftCountPartition(snap.rowCount))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow =
+            new GenericInternalRow(Array[Any](p.asInstanceOf[GraftCountPartition].count))
+          override def close(): Unit = ()
+        }
+    }
+
+  override def description(): String =
+    s"graft COUNT(*)=${snap.rowCount} (snapshot metadata, no data read)"
+}
+
+final case class GraftCountPartition(count: Long) extends InputPartition
 
 /** One partition = one parquet data file (+ the surviving block ids of its
   * version, when the pushed filters pruned any).

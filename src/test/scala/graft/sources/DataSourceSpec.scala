@@ -80,6 +80,34 @@ class DataSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(tableDir).count() == 500)
   }
 
+  test("COUNT(*) answers from snapshot metadata; appended versions scan fine") {
+    val dir = Files.createTempDirectory("graft-dsv2-ct").toString
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    val tok = Tokenize.tokenTable(spark, SfDir).toDF()
+    GraftTable.encode(tok.where(col("doc_id").cast("long") < 300), dir, opts)
+    GraftTable.append(tok.where(col("doc_id").cast("long") >= 300), dir, opts)
+    // metadata-only count: the physical scan is the count scan, no files
+    val cnt = spark.read.format("graft").load(dir).count()
+    assert(cnt == 500)
+    val plan = spark.read.format("graft").load(dir)
+      .groupBy().count().queryExecution.executedPlan
+    val scan = plan.collectFirst { case s: BatchScanExec => s }.get
+    assert(scan.scan.isInstanceOf[GraftCountScan], scan.scan.getClass.toString)
+    // a filtered count cannot use the shortcut and still answers exactly
+    val filtered = spark.read.format("graft").load(dir)
+      .where(col("source") === "src1")
+    assert(filtered.count() ==
+      GraftTable.decode(spark, dir).toDF().where(col("source") === "src1").count())
+    assert(!scanOf(filtered).scan.isInstanceOf[GraftCountScan])
+    // full read across BOTH versions matches decode
+    assert(spark.read.format("graft").load(dir)
+      .agg(sum("n_tok")).head().getLong(0) ==
+      GraftTable.decode(spark, dir).toDF().agg(sum("n_tok")).head().getLong(0))
+    // doc_id pruning works across versions too
+    val one = spark.read.format("graft").load(dir).where(col("doc_id") === "350")
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("350"))
+  }
+
   test("SQL: CREATE TABLE USING graft reads through the connector") {
     spark.sql("DROP TABLE IF EXISTS graft_dsv2")
     spark.sql(
