@@ -156,6 +156,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Exact n-gram Jaccard (brute-force all-pairs) — the baseline twin of
+    // q_dedup_minhash; identical output proves the LSH path loses nothing
+    "q_dedup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(
+        s.read.parquet(s"$dir/documents.parquet"), threshold = 0.9)
+        .select(
+          col("doc_a"), col("doc_b"),
+          round(col("jaccard") * 1e6).cast("long").as("jaccard_ppm"))
+        .orderBy(length(col("doc_a")), col("doc_a"),
+          length(col("doc_b")), col("doc_b"))
+    }),
+
+    // Time travel: the table exactly as of version 1 (before the second
+    // ingest batch); the oracle recomputes v1's slice from the source
+    "q_timetravel" -> ((s, dir) => {
+      val tdir = evolvedTableDir(s, dir)
+      GenericTable.decodeAt(s, tdir, 1)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("docs"),
+          sum(length(col("text")).cast("long")).cast("long").as("sum_text_len"))
+        .orderBy("source")
+    }),
+
     // Generic-lane range decode: key zone maps (key_min/key_max per block)
     // prune the lineitem table down to the orderkey slice before any
     // payload is decoded; the oracle recomputes the slice from the source
@@ -613,6 +637,31 @@ object SparkEntry {
         |       md5(text) AS text_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |         list_distinct([array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+        |           for i in range(1, greatest(len(string_split(text,' '))-2, 1)+1)]) AS s
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(round(1000000.0 * (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |         / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE))) AS BIGINT) AS jaccard_ppm
+        |FROM sh a JOIN sh b
+        |  ON (length(a.doc_id) < length(b.doc_id)
+        |      OR (length(a.doc_id) = length(b.doc_id) AND a.doc_id < b.doc_id))
+        |WHERE (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |       / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)) >= 0.9
+        |ORDER BY length(doc_a), doc_a, length(doc_b), doc_b""".stripMargin,
+
+    "q_timetravel" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents
+        |WHERE doc_id < 250
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_decode_range_generic" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

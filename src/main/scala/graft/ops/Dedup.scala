@@ -131,6 +131,28 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exact all-pairs n-gram Jaccard (the brute-force twin of
+    * [[minHashLsh]], same role brute-force cosine plays for the ANN
+    * paths): every (a, b) pair's shingle sets compared directly.
+    * Intentionally O(n²) — the exactness baseline the LSH path is
+    * oracle-checked against, never the 100 TB plan.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.9, k: Int = 3): DataFrame = {
+    val sh = docs.select(
+      col("doc_id").cast("string").as("doc_id"),
+      shingles(col("text"), k).as("sh"))
+    val a = sh.alias("a")
+    val b = sh.alias("b")
+    a.join(b,
+        length(col("a.doc_id")) < length(col("b.doc_id")) ||
+          (length(col("a.doc_id")) === length(col("b.doc_id")) &&
+            col("a.doc_id") < col("b.doc_id")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-duplicate pairs: 64-bit sketch, candidates from 16-bit
     * band collisions (a pair within Hamming distance 3 collides on at least
     * one of the 4 bands by pigeonhole), verified by exact Hamming distance.
