@@ -131,26 +131,57 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Exact all-pairs n-gram Jaccard (the brute-force twin of
-    * [[minHashLsh]], same role brute-force cosine plays for the ANN
-    * paths): every (a, b) pair's shingle sets compared directly.
-    * Intentionally O(n²) — the exactness baseline the LSH path is
-    * oracle-checked against, never the 100 TB plan.
+  /** EXACT n-gram Jaccard pairs without the O(n²) cross join: prefix
+    * filtering (PPJoin family — Xiao et al., "Efficient Similarity Joins
+    * for Near Duplicate Detection", WWW 2008). With shingle sets ordered
+    * rarest-global-frequency-first, two sets with Jaccard ≥ t MUST share
+    * an element inside their first `|s| − ⌈t·|s|⌉ + 1` elements — so the
+    * candidate join explodes only that short prefix (|s|/10 + 1 at
+    * t = 0.9), plus the size filter `t·|b| ≤ |a|`. Candidates then verify
+    * with the full exact intersection. Lossless by construction, and the
+    * join volume is driven by co-occurrence of RARE shingles — the 100 TB
+    * shape for an exact join (minHashLsh remains the approximate one).
     */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.9, k: Int = 3): DataFrame = {
     val sh = docs.select(
       col("doc_id").cast("string").as("doc_id"),
       shingles(col("text"), k).as("sh"))
-    val a = sh.alias("a")
-    val b = sh.alias("b")
-    a.join(b,
-        length(col("a.doc_id")) < length(col("b.doc_id")) ||
-          (length(col("a.doc_id")) === length(col("b.doc_id")) &&
-            col("a.doc_id") < col("b.doc_id")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("jaccard"))
+    val posts = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val freq = posts.groupBy("g").agg(count(lit(1)).as("cnt"))
+    // rarest-first canonical order; (cnt, g) sort keeps it deterministic
+    val ordered = posts.join(freq, "g")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("cnt"), col("g")))).as("ord"))
+      .select(col("doc_id"),
+        expr("transform(ord, x -> x.g)").as("sh"),
+        size(col("ord")).as("sz"))
+    val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    val prefixed = ordered.select(col("doc_id"), col("sh"), col("sz"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
+
+    val a = prefixed.alias("a")
+    val b = prefixed.alias("b")
+    val candidates = a.join(b,
+        col("a.g") === col("b.g") &&
+          // numeric doc_id order via (length, lexicographic)
+          (length(col("a.doc_id")) < length(col("b.doc_id")) ||
+            (length(col("a.doc_id")) === length(col("b.doc_id")) &&
+              col("a.doc_id") < col("b.doc_id"))) &&
+          // size filter: t·max ≤ min is necessary for Jaccard ≥ t
+          col("a.sz") >= col("b.sz") * threshold &&
+          col("b.sz") >= col("a.sz") * threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b") // id-only through the dedup shuffle
+
+    val byId = ordered.select(col("doc_id"), col("sh"))
+    candidates
+      .join(byId.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(byId.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("inter") / col("uni"))
       .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** SimHash near-duplicate pairs: 64-bit sketch, candidates from 16-bit
