@@ -156,6 +156,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Events table through the generic lane: timestamp_ntz (micros
+    // arithmetic), doubles (f64_dec), strings — exact per-type aggregates
+    // of the decoded table vs the source
+    "q_roundtrip_events" -> ((s, dir) => {
+      val tdir = tableDirCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, s"V:$dir"), {
+          val d = "/tmp/graft-tables/V1-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+          GenericTable.encode(
+            s.read.parquet(s"$dir/events.parquet"), d, keyCol = "event_id",
+            opts = GraftTable.Options(targetRowsPerBlock = 4096))
+          d
+        })
+      GenericTable.decode(s, tdir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).cast("long").as("n_events"),
+          sum(col("user_id").cast("decimal(38,0)")).cast("decimal(38,0)").as("sum_user"),
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"),
+          min(col("ts")).as("min_ts"),
+          max(col("ts")).as("max_ts"))
+        .orderBy("event_type")
+    }),
+
     // Exact n-gram Jaccard (brute-force all-pairs) — the baseline twin of
     // q_dedup_minhash; identical output proves the LSH path loses nothing
     "q_dedup_jaccard" -> ((s, dir) => {
@@ -637,6 +660,17 @@ object SparkEntry {
         |       md5(text) AS text_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q_roundtrip_events" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(user_id AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_user,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value,
+        |       MIN(ts) AS min_ts,
+        |       MAX(ts) AS max_ts
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_dedup_jaccard" ->
       """WITH sh AS (
