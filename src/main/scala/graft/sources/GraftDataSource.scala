@@ -107,11 +107,18 @@ class GraftSparkTable(tableDir: String) extends Table with SupportsRead {
 
 class GraftScanBuilder(tableDir: String, snap: GraftTable.Snapshot)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = GraftDataSource.TokenSchema
   private var pushed: Array[Filter] = Array.empty
   private var countPushed = false
+  private var limit = -1
+
+  /** Partial LIMIT pushdown: each partition stops decoding blocks once it
+    * has produced `limit` rows (Spark still applies the global limit).
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed: Boolean = true
 
   /** COUNT(*) with no filters and no GROUP BY answers from the snapshot's
     * exact row total — a metadata-only query, no data file is opened (the
@@ -160,7 +167,7 @@ class GraftScanBuilder(tableDir: String, snap: GraftTable.Snapshot)
 
   override def build(): Scan =
     if (countPushed) new GraftCountScan(tableDir, snap)
-    else new GraftScan(tableDir, snap, required, pushed)
+    else new GraftScan(tableDir, snap, required, pushed, limit)
 }
 
 /** Metadata-only COUNT(*): one partition, one row, zero data files read. */
@@ -204,7 +211,8 @@ class GraftScan(
     tableDir: String,
     snap: GraftTable.Snapshot,
     required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch with SupportsReportStatistics {
+    pushed: Array[Filter],
+    limit: Int = -1) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
@@ -282,7 +290,7 @@ class GraftScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required.fieldNames,
       new graft.expr.SerializableHadoopConf(
-        SparkSession.active.sparkContext.hadoopConfiguration))
+        SparkSession.active.sparkContext.hadoopConfiguration), limit)
 
   override def description(): String = {
     val pruned = allowedByVer.map(m => m.values.map(_.length).sum.toString)
@@ -295,9 +303,11 @@ class GraftScan(
 
 class GraftReaderFactory(
     columns: Array[String],
-    conf: graft.expr.SerializableHadoopConf) extends PartitionReaderFactory {
+    conf: graft.expr.SerializableHadoopConf,
+    limit: Int = -1) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition], columns, conf)
+    new GraftPartitionReader(
+      partition.asInstanceOf[GraftInputPartition], columns, conf, limit)
 }
 
 /** Decodes one parquet data file block by block, emitting InternalRows of
@@ -308,7 +318,8 @@ class GraftReaderFactory(
 class GraftPartitionReader(
     part: GraftInputPartition,
     columns: Array[String],
-    hconf: graft.expr.SerializableHadoopConf) extends PartitionReader[InternalRow] {
+    hconf: graft.expr.SerializableHadoopConf,
+    limit: Int = -1) extends PartitionReader[InternalRow] {
 
   private val needDoc = columns.contains("doc_id")
   private val needTok = columns.contains("tokens")
@@ -353,7 +364,10 @@ class GraftPartitionReader(
   private var off = 0
   private var current: InternalRow = _
 
+  private var produced = 0L
+
   override def next(): Boolean = {
+    if (limit >= 0 && produced >= limit) return false // pushed LIMIT met
     while (i >= nRows) {
       val g = reader.read()
       if (g == null) return false
@@ -386,6 +400,7 @@ class GraftPartitionReader(
     }
     if (needTok) off += lens(i)
     i += 1
+    produced += 1
     current = new GenericInternalRow(vals)
     true
   }

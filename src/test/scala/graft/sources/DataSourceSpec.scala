@@ -108,6 +108,17 @@ class DataSourceSpec extends AnyFunSuite {
     assert(one.collect().map(_.getString(0)).toSeq == Seq("350"))
   }
 
+  test("LIMIT pushes into the reader (per-partition early stop, exact rows)") {
+    val df = spark.read.format("graft").load(tableDir).limit(7)
+    assert(df.count() == 7)
+    assert(df.collect().length == 7)
+    // with a filter, limit composes and stays correct
+    val f = spark.read.format("graft").load(tableDir)
+      .where(col("source") === "src1").limit(3)
+    val rows = f.collect()
+    assert(rows.length == 3 && rows.forall(_.getString(3) == "src1"))
+  }
+
   test("SQL: CREATE TABLE USING graft reads through the connector") {
     spark.sql("DROP TABLE IF EXISTS graft_dsv2")
     spark.sql(
