@@ -168,14 +168,23 @@ object SparkEntry {
             opts = GraftTable.Options(targetRowsPerBlock = 4096))
           d
         })
+      // Outputs are engine-portable BIGINTs only (contract rule above):
+      // doubles as exact micro-units, timestamps as epoch micros — the
+      // driver's hash canonicalization renders DECIMAL(38,x)/TIMESTAMP_NTZ
+      // parquet differently across engines even when values agree.
       GenericTable.decode(s, tdir)
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).cast("long").as("n_events"),
-          sum(col("user_id").cast("decimal(38,0)")).cast("decimal(38,0)").as("sum_user"),
-          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"),
-          min(col("ts")).as("min_ts"),
-          max(col("ts")).as("max_ts"))
+          sum(col("user_id").cast("long")).cast("long").as("sum_user"),
+          sum((col("value").cast("decimal(18,6)") * lit(1000000))
+            .cast("long")).cast("long").as("sum_value_micros"),
+          min(expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+            .cast("long").as("min_ts_us"),
+          max(expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+            .cast("long").as("max_ts_us"))
         .orderBy("event_type")
     }),
 
@@ -211,8 +220,9 @@ object SparkEntry {
       GenericTable.decodeRange(s, tdir, 1000L, 2000L)
         .agg(
           count(lit(1)).cast("long").as("n_rows"),
-          sum(col("l_orderkey").cast("decimal(38,0)")).cast("decimal(38,0)").as("sum_okey"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"))
+          sum(col("l_orderkey").cast("long")).cast("long").as("sum_okey"),
+          sum((col("l_quantity").cast("decimal(18,2)") * lit(100))
+            .cast("long")).cast("long").as("sum_qty_cents"))
     }),
 
     // DataSource V2 read path: the same encoded table consumed via
@@ -255,17 +265,26 @@ object SparkEntry {
     // produce identical cent-level decimal casts on every row
     "q_roundtrip_lineitem" -> ((s, dir) => {
       val tdir = lineitemTableDir(s, dir)
+      // Cents / epoch-micros BIGINTs for portability (see q_roundtrip_events)
       GenericTable.decode(s, tdir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).cast("long").as("n_rows"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_price"),
-          sum(col("l_discount").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_disc"),
-          sum(col("l_tax").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_tax"),
-          sum(col("l_orderkey").cast("decimal(38,0)")).cast("decimal(38,0)").as("sum_okey"),
-          min(col("l_shipdate")).as("min_ship"),
-          max(col("l_shipdate")).as("max_ship"))
+          sum((col("l_quantity").cast("decimal(18,2)") * lit(100))
+            .cast("long")).cast("long").as("sum_qty_cents"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") * lit(100))
+            .cast("long")).cast("long").as("sum_price_cents"),
+          sum((col("l_discount").cast("decimal(18,2)") * lit(100))
+            .cast("long")).cast("long").as("sum_disc_cents"),
+          sum((col("l_tax").cast("decimal(18,2)") * lit(100))
+            .cast("long")).cast("long").as("sum_tax_cents"),
+          sum(col("l_orderkey").cast("long")).cast("long").as("sum_okey"),
+          min(expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)"))
+            .cast("long").as("min_ship_us"),
+          max(expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)"))
+            .cast("long").as("max_ship_us"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -664,10 +683,11 @@ object SparkEntry {
     "q_roundtrip_events" ->
       """SELECT event_type,
         |       CAST(count(*) AS BIGINT) AS n_events,
-        |       CAST(SUM(CAST(user_id AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_user,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value,
-        |       MIN(ts) AS min_ts,
-        |       MAX(ts) AS max_ts
+        |       CAST(SUM(user_id) AS BIGINT) AS sum_user,
+        |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+        |         AS sum_value_micros,
+        |       CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us,
+        |       CAST(epoch_us(MAX(ts)) AS BIGINT) AS max_ts_us
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
@@ -699,8 +719,9 @@ object SparkEntry {
 
     "q_decode_range_generic" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(SUM(CAST(l_orderkey AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_okey,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |       CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+        |       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |         AS sum_qty_cents
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
 
@@ -740,13 +761,17 @@ object SparkEntry {
     "q_roundtrip_lineitem" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
-        |       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_disc,
-        |       CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_tax,
-        |       CAST(SUM(CAST(l_orderkey AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_okey,
-        |       MIN(l_shipdate) AS min_ship,
-        |       MAX(l_shipdate) AS max_ship
+        |       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |         AS sum_qty_cents,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |         AS sum_price_cents,
+        |       CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |         AS sum_disc_cents,
+        |       CAST(SUM(CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |         AS sum_tax_cents,
+        |       CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+        |       CAST(epoch_us(MIN(l_shipdate)) AS BIGINT) AS min_ship_us,
+        |       CAST(epoch_us(MAX(l_shipdate)) AS BIGINT) AS max_ship_us
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

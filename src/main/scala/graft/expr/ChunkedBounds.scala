@@ -41,36 +41,76 @@ object BoundsChunks {
 
   val ChunkSize: Int = 4096
 
+  /** Cache ceiling in chunks (× ~32 KB/chunk ≈ 128 MB per JVM). Without a
+    * bound, a long-lived executor touching many table versions accumulates
+    * stale chunk arrays indefinitely — every version gets a fresh fileId.
+    * Eviction is arbitrary-order (chunks reload with one positioned read),
+    * which keeps the hot path a lock-free ConcurrentHashMap instead of a
+    * synchronized LRU.
+    */
+  @volatile var MaxCachedChunks: Int = 4096
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
-  /** Test hook: drop every cached chunk (per-JVM state). */
-  def clearCache(): Unit = cache.clear()
+  /** path → latest fileId observed: a new fileId for a path proves every
+    * cached chunk of the old fileId is stale (table recreated/appended),
+    * so they are dropped eagerly rather than waiting for the size cap.
+    */
+  private val liveFileId =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[expr] def chunk(
+  /** Test hook: drop every cached chunk (per-JVM state). */
+  def clearCache(): Unit = { cache.clear(); liveFileId.clear() }
+
+  /** Visible for tests. */
+  private[graft] def cachedChunkCount: Int = cache.size()
+
+  private def evictStale(path: String, fileId: String): Unit = {
+    val prev = liveFileId.put(path, fileId)
+    if (prev != null && prev != fileId) {
+      val stalePrefix = s"$path@$prev#"
+      val it = cache.keySet.iterator()
+      while (it.hasNext) if (it.next().startsWith(stalePrefix)) it.remove()
+    }
+  }
+
+  private def enforceCap(keep: String): Unit = {
+    var excess = cache.size() - MaxCachedChunks
+    if (excess > 0) {
+      val it = cache.keySet.iterator()
+      while (excess > 0 && it.hasNext) {
+        if (it.next() != keep) { it.remove(); excess -= 1 }
+      }
+    }
+  }
+
+  private[graft] def chunk(
       path: String, fileId: String, chunkId: Int, numBounds: Long,
-      conf: SerializableHadoopConf): Array[Long] =
-    // fileId (length:mtime, resolved on the DRIVER at plan time) keys the
-    // cache alongside the path: recreating a table at the same path must
-    // not serve a long-lived executor stale chunks of the old bounds
-    cache.computeIfAbsent(s"$path@$fileId#$chunkId", _ => {
+      conf: SerializableHadoopConf): Array[Long] = {
+    evictStale(path, fileId)
+    val key = s"$path@$fileId#$chunkId"
+    val out = cache.computeIfAbsent(key, _ => {
       val start = chunkId.toLong * ChunkSize
       val len = math.min(ChunkSize.toLong, numBounds - start).toInt
       val buf = new Array[Byte](len * 8)
       val p = new Path(path)
       val in = p.getFileSystem(conf.value).open(p)
       try { in.seek(start * 8L); in.readFully(buf) } finally in.close()
-      val out = new Array[Long](len)
+      val arr = new Array[Long](len)
       var i = 0
       while (i < len) {
         var v = 0L
         var b = 7
         while (b >= 0) { v = (v << 8) | (buf(i * 8 + b) & 0xFFL); b -= 1 }
-        out(i) = v
+        arr(i) = v
         i += 1
       }
-      out
+      arr
     })
+    enforceCap(keep = key)
+    out
+  }
 
   /** Two-level bucket probe, bit-equal to the flat
     * [[GraftRuntime.rangeBucket]] over the full bounds array: coarse binary

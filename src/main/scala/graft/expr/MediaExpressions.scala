@@ -43,7 +43,13 @@ object MediaRuntime {
     b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
-  def bmpRowSize(width: Int): Int = ((width * 3 + 3) / 4) * 4
+  def bmpRowSize(width: Int): Int = {
+    // Long intermediate: width * 3 overflows Int past ~715M, which would
+    // let a hostile header turn the row size negative
+    val r = ((width.toLong * 3 + 3) / 4) * 4
+    require(r >= 0 && r <= Int.MaxValue, s"BMP row size out of range for width $width")
+    r.toInt
+  }
 
   /** Build a real 24-bit BMP: pixel bytes cycle through `seed` (a
     * deterministic stand-in for real pixel content in synthesis and tests;
@@ -74,7 +80,15 @@ object MediaRuntime {
 
   /** Pixel-data offset (BMP) / sample-data offset (WAV) / loud failure. */
   def bodyOffset(b: Array[Byte]): Int =
-    if (isBmp(b)) intLE(b, 10)
+    if (isBmp(b)) {
+      // validate instead of trusting: a hostile offset would make the
+      // downstream feature/frame loops index out of bounds or silently
+      // skip every byte
+      val off = intLE(b, 10)
+      require(off >= 54 && off <= b.length,
+        s"corrupt BMP: pixel-data offset $off outside [54, ${b.length}]")
+      off
+    }
     else if (isWav(b)) {
       // walk RIFF chunks to the `data` chunk
       var off = 12
@@ -102,15 +116,25 @@ object MediaRuntime {
     val compression = intLE(bytes, 30)
     require(bpp == 24 && compression == 0,
       s"unsupported BMP variant: bpp=$bpp compression=$compression")
+    // reject dimensions the 24-bit bottom-up path can't represent (a
+    // negative height is a legal top-down BMP, but computing body size
+    // from it in Int would go negative and slip past the truncation
+    // guard, yielding garbage stats instead of failing loud)
+    require(width > 0 && height > 0,
+      s"unsupported BMP dimensions: ${width}x$height")
     val off = intLE(bytes, 10)
-    val body = bmpRowSize(width) * height
+    require(off >= 54 && off <= bytes.length,
+      s"corrupt BMP: pixel-data offset $off outside [54, ${bytes.length}]")
+    // Long arithmetic: width near Int.MaxValue overflows rowSize * height
+    val body = bmpRowSize(width).toLong * height
     require(off + body <= bytes.length,
       s"truncated BMP: declared $body pixel bytes at $off, have ${bytes.length}")
+    val bodyI = body.toInt // proven <= bytes.length above
     var sum = 0L
     var i = off
-    while (i < off + body) { sum += bytes(i) & 0xFF; i += 1 }
-    val mean = if (body == 0) 0.0 else sum.toDouble / body
-    InternalRow(width, height, body.toLong, mean)
+    while (i < off + bodyI) { sum += bytes(i) & 0xFF; i += 1 }
+    val mean = if (bodyI == 0) 0.0 else sum.toDouble / bodyI
+    InternalRow(width, height, body, mean)
   }
 
   /** Build a real RIFF/WAVE PCM file: 16-bit samples cycle through `seed`. */

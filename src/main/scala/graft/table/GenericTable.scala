@@ -48,6 +48,17 @@ object GenericTable {
 
   private def quoted(n: String) = s"`${n.replace("`", "``")}`"
 
+  /** Value-complete per-row hash over the storage leaves. Each leaf is
+    * hashed INDIVIDUALLY first: Spark's multi-arg xxhash64 skips null
+    * children (the seed passes through unchanged), so a flat
+    * xxhash64(l1, l2) cannot tell (null, "x") from ("x", null). The inner
+    * xxhash64 never returns null (a null input yields the seed), so every
+    * leaf contributes a value at its position and the outer order-sensitive
+    * fold pins both nulls and positions.
+    */
+  private def rowHash(leaves: Seq[Leaf]): Column =
+    xxhash64(leaves.map(l => xxhash64(col(quoted(l.name)))): _*)
+
   /** (top-level field, its codec leaves), in schema order. */
   private[table] def planOf(schema: StructType): Seq[(StructField, Seq[Leaf])] = {
     require(schema.fields.nonEmpty, "cannot encode a zero-column schema")
@@ -144,7 +155,12 @@ object GenericTable {
       case TimestampType => timestamp_micros(get(path))
       case TimestampNTZType => ntzFromMicros(get(path))
       case d: DecimalType if d.precision <= 18 =>
-        (get(path).cast(DecimalType(38, 0)) *
+        // DecimalType(19,0) (still holds any int64) keeps the product at
+        // precision 20+s ≤ 38 for s ≤ 18, so Spark never invokes
+        // adjustPrecisionScale — a (38,0) operand would push the product
+        // past 38 digits and silently clamp the scale to 6, rounding away
+        // fractional digits 7..18
+        (get(path).cast(DecimalType(19, 0)) *
           lit(new java.math.BigDecimal(java.math.BigInteger.ONE, d.scale))).cast(d)
       case ArrayType(ByteType | ShortType | BooleanType, _) => get(path).cast(dt)
       case _: ArrayType => get(path).cast(dt) // realign containsNull flags
@@ -251,7 +267,7 @@ object GenericTable {
     val keyed = df
       .select(leaves.map(l => l.enc.as(l.name)) :+
         keyExprOf(key, schema(key).dataType).as("_graft_key"): _*)
-      .withColumn("_graft_rh", xxhash64(leaves.map(l => col(quoted(l.name))): _*))
+      .withColumn("_graft_rh", rowHash(leaves))
 
     val st = keyed.agg(
       count(lit(1)).as("rows"),
@@ -276,7 +292,7 @@ object GenericTable {
     val ver = cur.map(_.version).getOrElse(0) + 1
     val statsFields = (Map(
       "rows" -> rows.toString, SchemaKey -> schema.json, KeyKey -> key,
-      "generic_leaves" -> leaves.map(l => s"${l.kind}:${l.name}").mkString("")) ++
+      "generic_leaves" -> leaves.map(l => s"${l.kind}:${l.name}").mkString("\u001f")) ++
       carriedMeta(cur) ++ extraMeta).toSeq
 
     if (rows == 0L) {
@@ -400,7 +416,7 @@ object GenericTable {
     val keyed = batch
       .select(leaves.map(l => l.enc.as(l.name)) :+
         keyExprOf(key, schema(key).dataType).as("_graft_key"): _*)
-      .withColumn("_graft_rh", xxhash64(leaves.map(l => col(quoted(l.name))): _*))
+      .withColumn("_graft_rh", rowHash(leaves))
     val st = keyed.agg(
       count(lit(1)).as("rows"),
       expr("bit_xor(_graft_rh)").as("x"),
@@ -456,7 +472,7 @@ object GenericTable {
       SchemaKey -> merged.json,
       WriteSchemaKey -> schema.json,
       KeyKey -> key,
-      "generic_leaves" -> leaves.map(l => s"${l.kind}:${l.name}").mkString("")) ++
+      "generic_leaves" -> leaves.map(l => s"${l.kind}:${l.name}").mkString("\u001f")) ++
       carriedMeta(cur) ++ extraMeta).toSeq
     val snapshotId = Hashing.sha256Hex(
       s"v$ver;generic-append;parent=${parent.snapshotId};fp=$fingerprint;" +
@@ -523,7 +539,7 @@ object GenericTable {
     val keyed = rows
       .select(leaves.map(l => l.enc.as(l.name)) :+
         keyExprOf(key, merged(key).dataType).as("_graft_key"): _*)
-      .withColumn("_graft_rh", xxhash64(leaves.map(l => col(quoted(l.name))): _*))
+      .withColumn("_graft_rh", rowHash(leaves))
       .cache()
     try {
       val nRows = keyed.count()
@@ -553,7 +569,7 @@ object GenericTable {
         SchemaKey -> merged.json,
         WriteSchemaKey -> merged.json,
         KeyKey -> key,
-        "generic_leaves" -> leaves.map(l => s"${l.kind}:${l.name}").mkString("")) ++
+        "generic_leaves" -> leaves.map(l => s"${l.kind}:${l.name}").mkString("\u001f")) ++
         carriedMeta(Some(p))).toSeq
       val snapshotId = Hashing.sha256Hex(
         s"v$ver;generic-compact;parent=${p.snapshotId};fp=$combinedFp;" +

@@ -41,6 +41,28 @@ class MultimodalSpec extends AnyFunSuite {
       MediaRuntime.probe(Array.fill[Byte](60)(7)))
   }
 
+  test("hostile BMP headers fail loud (negative height, huge width, bad offset)") {
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val b = MediaRuntime.bmp(3, 2, Array[Byte](1, 2, 3))
+      b(off) = (v & 0xFF).toByte
+      b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte
+      b(off + 3) = ((v >> 24) & 0xFF).toByte
+      b
+    }
+    // negative height (legal top-down BMP elsewhere; here it must not
+    // produce a negative body size that slips past the truncation guard)
+    intercept[IllegalArgumentException](MediaRuntime.probe(patched(22, -2)))
+    // width large enough to overflow rowSize*height in Int
+    intercept[IllegalArgumentException](MediaRuntime.probe(patched(18, 0x7FFFFFF0)))
+    intercept[IllegalArgumentException](MediaRuntime.probe(patched(18, -3)))
+    // pixel-data offset before the header end / past the payload
+    intercept[IllegalArgumentException](MediaRuntime.probe(patched(10, 4)))
+    intercept[IllegalArgumentException](MediaRuntime.probe(patched(10, 100000)))
+    intercept[IllegalArgumentException](MediaRuntime.bodyOffset(patched(10, 4)))
+    intercept[IllegalArgumentException](MediaRuntime.bodyOffset(patched(10, 100000)))
+  }
+
   test("hand-built WAV fixture parses exactly (RIFF/fmt/data chunks)") {
     val seed = Array.tabulate(8)(i => (i + 1).toByte)
     val w = MediaRuntime.wav(channels = 2, sampleRate = 16000, nSamples = 10, seed)

@@ -158,6 +158,46 @@ class BoundsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk cache evicts stale fileIds and stays under the global cap") {
+    import graft.expr.{BoundsChunks, SerializableHadoopConf}
+    BoundsChunks.clearCache()
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val n = 2 * BoundsChunks.ChunkSize
+    val bounds = Array.tabulate(n)(_.toLong * 3)
+    val bin = Files.createTempDirectory("graft-evict").toString + "/bounds.bin"
+    val bb = java.nio.ByteBuffer.allocate(bounds.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bounds.foreach(bb.putLong)
+    Files.write(java.nio.file.Paths.get(bin), bb.array())
+    // a recreated table (same path, new fileId) evicts the old fileId's
+    // chunks eagerly — a long-lived executor must not accumulate one copy
+    // of the bounds per table version it ever touched
+    (0 until 10).foreach { ver =>
+      BoundsChunks.chunk(bin, s"fid$ver", 0, n.toLong, conf)
+      BoundsChunks.chunk(bin, s"fid$ver", 1, n.toLong, conf)
+      assert(BoundsChunks.cachedChunkCount <= 2,
+        s"version $ver left ${BoundsChunks.cachedChunkCount} chunks cached")
+    }
+    // distinct paths (many live tables) under a LOWERED cap: per-path
+    // eviction doesn't apply across tables, so the global cap is the
+    // only bound on a long-lived executor's footprint
+    BoundsChunks.clearCache()
+    val savedCap = BoundsChunks.MaxCachedChunks
+    try {
+      BoundsChunks.MaxCachedChunks = 3
+      (0 until 8).foreach { i =>
+        val d = Files.createTempDirectory(s"graft-evict$i").toString + "/bounds.bin"
+        Files.write(java.nio.file.Paths.get(d), bb.array())
+        BoundsChunks.chunk(d, "f", 0, n.toLong, conf)
+        BoundsChunks.chunk(d, "f", 1, n.toLong, conf)
+      }
+      assert(BoundsChunks.cachedChunkCount <= BoundsChunks.MaxCachedChunks + 1)
+    } finally {
+      BoundsChunks.MaxCachedChunks = savedCap
+      BoundsChunks.clearCache()
+    }
+  }
+
   test("two-level bounds: driver holds coarse cuts only, bytes match flat path") {
     import graft.expr.BoundsChunks
     BoundsChunks.clearCache()

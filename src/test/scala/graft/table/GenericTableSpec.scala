@@ -335,6 +335,54 @@ class GenericTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not supported"))
   }
 
+  test("high-scale decimals (scale 7..18) round-trip exactly, incl. compact") {
+    // scale >= 7 is the regime where a (38,0)-cast restore overflows
+    // precision 38 and Spark silently clamps the product scale to 6 —
+    // these columns must survive decode AND a compaction rewrite
+    val df = (0 until 300).toDF("k").select(
+      col("k").cast("long").as("id"),
+      (col("k").cast("decimal(10,0)") * 17 - 2000)
+        .cast("decimal(18,0)").divide(lit(100000000L)).cast("decimal(10,8)").as("d8"),
+      when(pmod(col("k"), lit(7)) === 0, lit(null)).otherwise(
+        (col("k").cast("decimal(18,0)") * 1234567 + 11)
+          .divide(lit(1000000000000000000L)).cast("decimal(18,18)")).as("d18"),
+      (col("k").cast("decimal(18,0)") - 150)
+        .divide(lit(10000000L)).cast("decimal(18,7)").as("d7"))
+    assert(df.schema("d18").dataType == DecimalType(18, 18))
+    val dir = tmpDir("decscale")
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    GenericTable.encode(df, dir, keyCol = "id", opts)
+    val dec = GenericTable.decode(spark, dir)
+    assert(dec.schema("d8").dataType == DecimalType(10, 8))
+    assert(dec.schema("d18").dataType == DecimalType(18, 18))
+    assertSameRows(dec, df)
+    // compaction rewrites stored data through decode→encode: fragment the
+    // table first so compact actually rewrites, then recheck every digit
+    GenericTable.append(df.withColumn("id", col("id") + 300), dir, opts)
+    GenericTable.append(df.withColumn("id", col("id") + 600), dir, opts)
+    GenericTable.compact(spark, dir, opts)
+    val shifted = df.unionAll(df.withColumn("id", col("id") + 300))
+      .unionAll(df.withColumn("id", col("id") + 600))
+    assertSameRows(GenericTable.decode(spark, dir), shifted)
+  }
+
+  test("resume fingerprint distinguishes null position across leaves") {
+    // Spark's multi-arg xxhash64 skips null children, so under a flat
+    // row hash (null,'x') and ('x',null) collide: count/xor/sum/schema
+    // all match and a changed input would resume as a no-op, silently
+    // serving stale data. The per-leaf inner hash must break the tie.
+    val a = Seq((1L, Option.empty[String], Option("x")))
+      .toDF("id", "u", "v")
+    val b = Seq((1L, Option("x"), Option.empty[String]))
+      .toDF("id", "u", "v")
+    val dir = tmpDir("nullpos")
+    val r1 = GenericTable.encode(a, dir, keyCol = "id")
+    val r2 = GenericTable.encode(b, dir, keyCol = "id")
+    assert(r2.version > r1.version, "swapped-null input must not resume as a no-op")
+    val rows = GenericTable.decode(spark, dir).collect()
+    assert(rows.length == 1 && rows(0).getString(1) == "x" && rows(0).isNullAt(2))
+  }
+
   test("generic compact merges only fragmented versions and upgrades schema") {
     import org.apache.hadoop.fs.Path
     val dir = tmpDir("gcompact")
