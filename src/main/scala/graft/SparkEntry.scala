@@ -141,6 +141,28 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // DSv2 WRITE path (ebenezer's sink parity): the token table written
+    // through df.write.format("graft") and read back through
+    // spark.read.format("graft") — the whole connector round trip must
+    // reproduce the source exactly
+    "q_datasource_write" -> ((s, dir) => {
+      val tdir = tableDirCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, s"W:$dir"), {
+          val d = "/tmp/graft-tables/W1-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+          Tokenize.tokenTable(s, dir).toDF()
+            .write.format("graft").option("targetRowsPerBlock", "128")
+            .mode("overwrite").save(d)
+          d
+        })
+      s.read.format("graft").load(tdir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).cast("long").as("docs"),
+          sum(col("n_tok").cast("long")).as("tokens"),
+          sum(Tokenize.checksumCol(col("tokens"))).as("checksum_sum"))
+        .orderBy("source")
+    }),
+
     // R3/R4 any-schema tables: documents.parquet (5 columns incl. lang and
     // n_chars — a schema the token lane would reject) encoded AS-IS through
     // the generic lane, decoded, and compared per-row via md5 of the
@@ -653,6 +675,27 @@ object SparkEntry {
     // proves the engine's decoded table equals the raw source: the oracle
     // recomputes the same per-source aggregates from documents directly
     "q_roundtrip_table" ->
+      """WITH vocab AS (
+        |  SELECT word, row_number() OVER (ORDER BY word) - 1 AS tid
+        |  FROM (SELECT DISTINCT unnest(string_split(text,' ')) AS word FROM documents)
+        |), pairs AS (
+        |  SELECT doc_id, source, unnest(string_split(text,' ')) AS word,
+        |         generate_subscripts(string_split(text,' '),1) AS pos
+        |  FROM documents
+        |), per_doc AS (
+        |  SELECT p.doc_id, p.source, count(*) AS n_tok, sum(v.tid * p.pos) AS checksum
+        |  FROM pairs p JOIN vocab v ON v.word = p.word
+        |  GROUP BY p.doc_id, p.source
+        |)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |       CAST(sum(checksum) AS BIGINT) AS checksum_sum
+        |FROM per_doc
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q_datasource_write" ->
       """WITH vocab AS (
         |  SELECT word, row_number() OVER (ORDER BY word) - 1 AS tid
         |  FROM (SELECT DISTINCT unnest(string_split(text,' ')) AS word FROM documents)

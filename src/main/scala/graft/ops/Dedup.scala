@@ -142,22 +142,47 @@ object Dedup {
     * join volume is driven by co-occurrence of RARE shingles — the 100 TB
     * shape for an exact join (minHashLsh remains the approximate one).
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double = 0.9, k: Int = 3): DataFrame = {
+  def jaccardPairs(
+      docs: DataFrame,
+      threshold: Double = 0.9,
+      k: Int = 3,
+      maxPrefixBucket: Int = 65536): DataFrame = {
     val sh = docs.select(
       col("doc_id").cast("string").as("doc_id"),
       shingles(col("text"), k).as("sh"))
     val posts = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     val freq = posts.groupBy("g").agg(count(lit(1)).as("cnt"))
-    // rarest-first canonical order; (cnt, g) sort keeps it deterministic
+    // rarest-first canonical order; (cnt, g) sort keeps it deterministic.
+    // The frame feeds THREE consumers (prefix explode + both sides of the
+    // verification join) — uncached, lineage recomputes the posts⋈freq +
+    // collect_list subtree per consumer (the same mistake fixed in
+    // minHashLsh); MEMORY_AND_DISK persists it once, spilling at scale.
+    // Left persisted: the result is lazy, eager unpersist would poison it.
     val ordered = posts.join(freq, "g")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("cnt"), col("g")))).as("ord"))
       .select(col("doc_id"),
         expr("transform(ord, x -> x.g)").as("sh"),
         size(col("ord")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
-    val prefixed = ordered.select(col("doc_id"), col("sh"), col("sz"),
+    val exploded = ordered.select(col("doc_id"), col("sh"), col("sz"),
       explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
+    // prefix-posting-list cap: one shingle appearing in many PREFIXES
+    // makes the candidate self-join quadratic in that posting list;
+    // groups above the cap are skipped (minHashLsh's maxBucket
+    // analogue). Rarest-first ordering makes such a shingle pathological
+    // by construction — prefixes hold each set's RAREST elements — so at
+    // the default cap this only engages on degenerate corpora
+    // (near-identical boilerplate floods), where it trades recall on
+    // exactly those floods; run [[exact]] dedup first so identical texts
+    // never reach this stage. Both consumers of `exploded` re-explode off
+    // the PERSISTED `ordered` — no join/agg recompute.
+    val smallGroups = exploded
+      .groupBy("g").agg(count(lit(1)).as("pc"))
+      .where(col("pc") <= maxPrefixBucket)
+      .select("g")
+    val prefixed = exploded.join(smallGroups, Seq("g"), "left_semi")
 
     val a = prefixed.alias("a")
     val b = prefixed.alias("b")

@@ -51,9 +51,15 @@ import graft.table.{GenericTable, GraftTable}
   * catalog views; this connector serves the fixed token schema, where the
   * per-block payload decode can emit `InternalRow`s directly.
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "graft"
+
+  /** Writes carry their own schema (the incoming DataFrame's) — Spark
+    * must not require inferSchema to succeed on a not-yet-created path.
+    */
+  override def supportsExternalMetadata(): Boolean = true
 
   private def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -62,15 +68,47 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    pathOf(options) // existence is validated in getTable
-    GraftDataSource.TokenSchema
+    val dir = pathOf(options)
+    val snap = GraftTable.currentSnapshot(SparkSession.active, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed graft table at $dir"))
+    if (GenericTable.isGeneric(snap)) GenericTable.readSchemaOf(snap)
+    else GraftDataSource.TokenSchema
   }
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new GraftSparkTable(properties.get("path"))
+    new GraftSparkTable(properties.get("path"), schema)
+
+  /** V1 CTAS bridge: `CREATE TABLE t USING graft OPTIONS (path ...) AS
+    * SELECT ...` plans through the session catalog's V1 command, which
+    * needs a CreatableRelationProvider. Routes into the same lane logic
+    * as the V2 write path.
+    */
+  override def createRelation(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft writes need a table path option"))
+    val exists = GraftTable.currentSnapshot(data.sparkSession, dir).isDefined
+    mode match {
+      case ErrorIfExists if exists =>
+        throw new IllegalStateException(s"graft table already exists at $dir")
+      case Ignore if exists => // no-op by contract
+      case _ =>
+        GraftDataSource.writeBatch(data, dir, overwrite = mode == Overwrite, parameters)
+    }
+    val ctx = sqlContext
+    val written = data.schema
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = written
+    }
+  }
 }
 
 object GraftDataSource {
@@ -81,12 +119,73 @@ object GraftDataSource {
     StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = true),
     StructField("n_tok", IntegerType, nullable = false),
     StructField("source", StringType, nullable = true)))
+
+  /** A batch rides the specialized token lane when it IS the token shape.
+    * containsNull on `tokens` is ignored for routing: Spark's write
+    * planning relaxes nullability flags on the way to the V1 insert, and
+    * the token lane never casts the array (a null ELEMENT at runtime
+    * fails the encode loudly — token streams are non-null by contract;
+    * batches that genuinely carry element nulls should target a generic
+    * table, whose `arr_int_n` kind stores them faithfully).
+    */
+  private[sources] def isTokenShape(s: StructType): Boolean =
+    s.fieldNames.sorted.sameElements(Array("doc_id", "n_tok", "source", "tokens")) &&
+      s("doc_id").dataType == StringType &&
+      (s("tokens").dataType match {
+        case ArrayType(IntegerType, _) => true
+        case _ => false
+      }) &&
+      s("n_tok").dataType == IntegerType &&
+      s("source").dataType == StringType
+
+  /** Shared write routing for the V2 (`df.write.format("graft")`) and V1
+    * (CTAS) paths. Overwrite replaces (both lanes' `encode` starts a fresh
+    * version whose dataDirs carry only the new data when the input
+    * fingerprint changed — and resumes as a no-op when it didn't); append
+    * on an existing table accumulates a version (generic lane: with
+    * union-by-name schema evolution). An existing table pins the lane;
+    * a fresh path routes by the batch's shape.
+    */
+  private[sources] def writeBatch(
+      data: org.apache.spark.sql.DataFrame,
+      tableDir: String,
+      overwrite: Boolean,
+      options: Map[String, String]): Unit = {
+    val spark = data.sparkSession
+    val existing = GraftTable.currentSnapshot(spark, tableDir)
+    val existingGeneric = existing.exists(GenericTable.isGeneric)
+    val opts = GraftTable.Options(
+      targetRowsPerBlock =
+        options.get("targetrowsperblock").orElse(options.get("targetRowsPerBlock"))
+          .map(_.toInt).getOrElse(GraftTable.Options().targetRowsPerBlock))
+    val tokenLane =
+      if (existing.isEmpty) isTokenShape(data.schema)
+      else !existingGeneric
+    if (tokenLane) {
+      require(isTokenShape(data.schema),
+        s"$tableDir is a token-lane table; the batch schema " +
+          s"${data.schema.catalogString} is not the token shape " +
+          "(doc_id string, tokens array<int> non-null elements, n_tok int, source string)")
+      val d = data.select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+      if (overwrite || existing.isEmpty) GraftTable.encode(d, tableDir, opts)
+      else GraftTable.append(d, tableDir, opts)
+    } else {
+      val key = options.getOrElse("key", "")
+      if (overwrite || existing.isEmpty)
+        GenericTable.encode(data, tableDir, keyCol = key, opts = opts)
+      else GenericTable.append(data, tableDir, opts)
+    }
+  }
 }
 
-class GraftSparkTable(tableDir: String) extends Table with SupportsRead {
+class GraftSparkTable(tableDir: String, provided: StructType) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  private lazy val snapOpt = GraftTable.currentSnapshot(SparkSession.active, tableDir)
 
   private lazy val snap = {
-    val s = GraftTable.currentSnapshot(SparkSession.active, tableDir).getOrElse(
+    val s = snapOpt.getOrElse(
       throw new IllegalArgumentException(s"no committed graft table at $tableDir"))
     require(!GenericTable.isGeneric(s),
       s"$tableDir is a generic-lane table — read it via GenericTable.decode " +
@@ -96,13 +195,51 @@ class GraftSparkTable(tableDir: String) extends Table with SupportsRead {
 
   override def name(): String = s"graft:`$tableDir`"
 
-  override def schema(): StructType = GraftDataSource.TokenSchema
+  override def schema(): StructType = snapOpt match {
+    case Some(s) if GenericTable.isGeneric(s) => GenericTable.readSchemaOf(s)
+    case Some(_) => GraftDataSource.TokenSchema
+    case None => if (provided != null) provided else GraftDataSource.TokenSchema
+  }
 
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableDir, snap)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(tableDir, info.options().asScala.toMap)
+}
+
+/** V1Write bridge: both lanes' encode is a whole-DataFrame operation
+  * (global range bounds, one hash exchange, streaming block assembly) —
+  * the per-task DataWriter protocol cannot express it, and reimplementing
+  * it per-partition would forfeit the engine's layout determinism. The
+  * InsertableRelation hand-off keeps the WHOLE distributed pipeline
+  * (nothing is collected; the driver only orchestrates).
+  */
+class GraftWriteBuilder(tableDir: String, options: Map[String, String])
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true
+    this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+        (data: org.apache.spark.sql.DataFrame, ov: Boolean) =>
+          GraftDataSource.writeBatch(data, tableDir, overwrite || ov, options)
+    }
 }
 
 class GraftScanBuilder(tableDir: String, snap: GraftTable.Snapshot)
@@ -207,6 +344,14 @@ final case class GraftInputPartition(
     file: String,
     allowedBlocks: Option[Array[Int]]) extends InputPartition
 
+object GraftScan {
+  /** Driver-side block-pruning ceiling: above this many surviving block
+    * ids the zone-map prune is skipped (≈2 MB of ids; the parquet
+    * row-group filter and the residual Spark filters still apply).
+    */
+  @volatile var MaxPrunedBlockIds: Int = 262144
+}
+
 class GraftScan(
     tableDir: String,
     snap: GraftTable.Snapshot,
@@ -259,9 +404,19 @@ class GraftScan(
       if (sources.nonEmpty)
         man = man.where(col("src_list").isNull ||
           sources.map(s => array_position(col("src_list"), s) > 0).reduce(_ || _))
+      // Bounded collect: an UNSELECTIVE filter over a 15M-block table
+      // would otherwise pull every surviving (ver, block_id) to the
+      // driver and ship the array into each partition — the same
+      // O(numBlocks) driver floor the two-level bounds removed from the
+      // encode path. limit(N+1) caps what the collect can ever pull;
+      // past the cap, pruning is skipped entirely (it is a pure
+      // optimization — every filter stays residual in the Spark plan,
+      // so correctness never depends on it).
       val rows = man.select(col("ver").cast("int"), col("block_id").cast("int"))
+        .limit(GraftScan.MaxPrunedBlockIds + 1)
         .collect()
-      Some(rows.groupBy(_.getInt(0)).map { case (v, rs) =>
+      if (rows.length > GraftScan.MaxPrunedBlockIds) None
+      else Some(rows.groupBy(_.getInt(0)).map { case (v, rs) =>
         v -> rs.map(_.getInt(1)).distinct.sorted
       })
     }

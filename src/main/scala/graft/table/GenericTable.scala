@@ -647,7 +647,7 @@ object GenericTable {
   // -------------------------------------------------------------- decode
 
   /** The current READ schema of a generic snapshot (post-evolution merge). */
-  private def readSchemaOf(snap: Snapshot): StructType = {
+  private[graft] def readSchemaOf(snap: Snapshot): StructType = {
     val stats = snap.stats.toMap
     val schemaJson = stats.getOrElse(SchemaKey, throw new IllegalStateException(
       "not a generic table: snapshot has no generic_schema (token tables " +
@@ -724,8 +724,37 @@ object GenericTable {
     val key = snap.stats.toMap.apply(KeyKey)
     val pruned = decodeFields(spark, tableDir, snap, schema,
       schema.fieldNames.toIndexedSeq,
-      col("key_max").geq(lo) && col("key_min").leq(hi))
+      col("key_max").geq(lo) && col("key_min").leq(hi),
+      dataDirs = Some(rangeDataDirs(spark, tableDir, snap, lo, hi)))
     pruned.where(keyExprOf(key, schema(key).dataType).between(lo, hi))
+  }
+
+  /** Data dirs whose per-version key span intersects [lo, hi] — the
+    * manifest (tiny JSON) answers this without touching a data file, so a
+    * range probe on a many-version table skips whole versions' files
+    * instead of opening every footer only to prune its row groups (the
+    * token lane's manifest-semi-join shape). Versions absent from the
+    * manifest aggregate (shouldn't happen) stay — never wrongly pruned.
+    */
+  private[table] def rangeDataDirs(
+      spark: SparkSession,
+      tableDir: String,
+      snap: Snapshot,
+      lo: Long,
+      hi: Long): Seq[String] = {
+    if (snap.manifestDirs.isEmpty) return snap.dataDirs
+    val spans = GraftTable.readManifest(spark, tableDir, snap)
+      .groupBy(col("ver").cast("int").as("v"))
+      .agg(min(col("key_min").cast("long")).as("kmin"),
+        max(col("key_max").cast("long")).as("kmax"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    snap.dataDirs.filter { d =>
+      spans.get(versionOf(d)) match {
+        case Some((kmin, kmax)) => kmax >= lo && kmin <= hi
+        case None => true
+      }
+    }
   }
 
   private def decodeFields(
@@ -734,50 +763,63 @@ object GenericTable {
       snap: Snapshot,
       readSchema: StructType,
       fieldNames: IndexedSeq[String],
-      blockPredicate: Column = lit(true)): DataFrame = {
+      blockPredicate: Column = lit(true),
+      dataDirs: Option[Seq[String]] = None): DataFrame = {
     val wanted = readSchema.fields.toIndexedSeq.filter(f => fieldNames.contains(f.name))
-    if (snap.dataDirs.isEmpty)
+    val liveDirs = dataDirs.getOrElse(snap.dataDirs)
+    if (liveDirs.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[Row](), StructType(wanted))
-    val perVersion = snap.dataDirs.groupBy(versionOf).toSeq.sortBy(_._1).map {
+    // One scan branch per distinct WRITE SCHEMA, not per version: a
+    // long-running streamed table (one version per micro-batch) must not
+    // build a thousand-branch union — versions written under the same
+    // schema share one leaf plan and therefore one multi-dir parquet scan.
+    // Plan size now grows with schema EVOLUTIONS (rare), not ingests.
+    val byVersion = liveDirs.groupBy(versionOf).toSeq.sortBy(_._1).map {
       case (ver, dirs) =>
         val vsnap =
           if (ver == snap.version) snap
           else GraftTable.snapshotVersion(spark, tableDir, ver).getOrElse(
             throw new IllegalStateException(
               s"data dir of v$ver is live but metadata/v$ver.json is missing"))
-        val wplan = planOf(writeSchemaOf(vsnap))
-        val leafIdx = wplan.flatMap(_._2).map(_.name).zipWithIndex.toMap
-        val byName = wplan.map(p => p._1.name -> p).toMap
-        val present = wanted.flatMap(f => byName.get(f.name))
-        // at least one decoded leaf must drive the per-row explode even
-        // when every wanted column postdates this version (null rows of
-        // the right multiplicity); prefer a cheap fixed-width leaf
-        val driver =
-          if (present.nonEmpty) Nil
-          else {
-            val all = wplan.flatMap(_._2)
-            Seq(all.find(l => Set("int", "long", "f32", "f64").contains(l.kind))
-              .getOrElse(all.head))
-          }
-        val leaves = present.flatMap(_._2) ++ driver
-        val zipped = leaves.map { l =>
-          val i = leafIdx(l.name)
-          GraftSql.column(GraftDecodeAny(
-            GraftSql.expression(col(s"pl_$i")), l.kind)).as(s"c$i")
-        }
-        val blocksDf = spark.read.parquet(dirs.map(d => s"$tableDir/$d"): _*)
-          .where(blockPredicate)
-        val exploded = blocksDf.select(explode(arrays_zip(zipped: _*)).as("r"))
-        def get(name: String): Column = col("r").getField(s"c${leafIdx(name)}")
-        exploded.select(wanted.map { f =>
-          byName.get(f.name) match {
-            case Some((wf, _)) => restore(wf.name, wf.dataType, wf.nullable, get).as(f.name)
-            case None => lit(null).cast(f.dataType).as(f.name)
-          }
-        }: _*)
+        (ver, dirs, writeSchemaOf(vsnap))
     }
-    perVersion.reduce(_ unionAll _)
+    val bySchema = byVersion.groupBy(_._3.json).toSeq
+      .sortBy(_._2.map(_._1).min).map { case (_, group) => group }
+    val perGroup = bySchema.map { group =>
+      val wplan = planOf(group.head._3)
+      val dirs = group.flatMap(_._2)
+      val leafIdx = wplan.flatMap(_._2).map(_.name).zipWithIndex.toMap
+      val byName = wplan.map(p => p._1.name -> p).toMap
+      val present = wanted.flatMap(f => byName.get(f.name))
+      // at least one decoded leaf must drive the per-row explode even
+      // when every wanted column postdates this schema (null rows of
+      // the right multiplicity); prefer a cheap fixed-width leaf
+      val driver =
+        if (present.nonEmpty) Nil
+        else {
+          val all = wplan.flatMap(_._2)
+          Seq(all.find(l => Set("int", "long", "f32", "f64").contains(l.kind))
+            .getOrElse(all.head))
+        }
+      val leaves = present.flatMap(_._2) ++ driver
+      val zipped = leaves.map { l =>
+        val i = leafIdx(l.name)
+        GraftSql.column(GraftDecodeAny(
+          GraftSql.expression(col(s"pl_$i")), l.kind)).as(s"c$i")
+      }
+      val blocksDf = spark.read.parquet(dirs.map(d => s"$tableDir/$d"): _*)
+        .where(blockPredicate)
+      val exploded = blocksDf.select(explode(arrays_zip(zipped: _*)).as("r"))
+      def get(name: String): Column = col("r").getField(s"c${leafIdx(name)}")
+      exploded.select(wanted.map { f =>
+        byName.get(f.name) match {
+          case Some((wf, _)) => restore(wf.name, wf.dataType, wf.nullable, get).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }: _*)
+    }
+    perGroup.reduce(_ unionAll _)
   }
 
   /** Per-(column, codec) selection evidence, the generic `describe`.

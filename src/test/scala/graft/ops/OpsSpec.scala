@@ -62,6 +62,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out.contains(("1", "2")), s"planted pair missing from $out")
   }
 
+  test("jaccardPairs equals brute force; ordered frame persists; cap bounds floods") {
+    val exactQ = Dedup.jaccardPairs(docs, threshold = 0.9)
+    val exact = exactQ
+      .select("doc_a", "doc_b").as[(String, String)].collect().toSet
+    val brute = Dedup.ngramJaccardBrute(docs, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(String, String)].collect().toSet
+    assert(brute.nonEmpty && exact == brute)
+    // the rarest-first `ordered` frame must come from the cache in all
+    // three consumers, not recompute its posts⋈freq+collect_list subtree
+    // per consumer (the round-2 minHashLsh lineage mistake)
+    val plan = exactQ.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+
+    // prefix-posting-list cap: a flood of identical docs puts every
+    // prefix shingle in a posting list of flood size — above a tiny cap
+    // the flood's pairs are skipped; at the default cap the full
+    // quadratic pair set is still exact
+    val flood = (0 until 20).map(i => (s"f$i",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z")).toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(flood, 0.9, maxPrefixBucket = 3).count() == 0L)
+    assert(Dedup.jaccardPairs(flood, 0.9).count() == 190L) // C(20,2)
+  }
+
   test("simhash: near-identical long docs land far closer than unrelated ones") {
     // SimHash needs enough terms for the per-bit counters to concentrate;
     // replicate each text 20× so a single-word change perturbs counters by

@@ -131,6 +131,86 @@ class DataSourceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_dsv2")
   }
 
+  test("write path: token-lane save/append/overwrite round-trip exactly") {
+    val dir = Files.createTempDirectory("graft-dsv2-w").toString
+    val src = Tokenize.tokenTable(spark, SfDir).toDF()
+    src.write.format("graft").option("targetRowsPerBlock", "64")
+      .mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+      .orderBy(col("doc_id").cast("long"))
+      .collect().map(r => (r.getString(0), r.getSeq[Int](1), r.getInt(2), r.getString(3)))
+    val want = src.orderBy(col("doc_id").cast("long"))
+      .collect().map(r => (r.getString(0), r.getSeq[Int](1), r.getInt(2), r.getString(3)))
+    assert(back.length == 500 && back.sameElements(want))
+    // append accumulates a version
+    src.select(
+      concat(lit("1"), col("doc_id")).as("doc_id"),
+      col("tokens"), col("n_tok"), col("source"))
+      .write.format("graft").mode("append").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 1000)
+    // overwrite replaces (fresh version, only the new data readable)
+    src.write.format("graft").option("targetRowsPerBlock", "64")
+      .mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 500)
+  }
+
+  test("write path: non-token schemas ride the generic lane with the key option") {
+    val dir = Files.createTempDirectory("graft-dsv2-wg").toString
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    docs.write.format("graft").option("key", "doc_id").mode("append").save(dir)
+    val snap = GraftTable.currentSnapshot(spark, dir).get
+    assert(graft.table.GenericTable.isGeneric(snap))
+    val back = graft.table.GenericTable.decode(spark, dir)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+    // a token-shaped batch appended to a generic table stays generic
+    // (existing table pins the lane; union-by-name evolution applies)
+    val e = intercept[Exception](
+      Tokenize.tokenTable(spark, SfDir).toDF()
+        .write.format("graft").mode("append").save(dir))
+    assert(e.getMessage != null) // evolution rejects type-changing columns loudly
+  }
+
+  test("SQL-only round trip: CTAS + INSERT INTO + SELECT through the connector") {
+    val dir = Files.createTempDirectory("graft-dsv2-sql").toString
+    spark.sql("DROP TABLE IF EXISTS graft_sqlw")
+    spark.sql(
+      s"""CREATE TABLE graft_sqlw USING graft OPTIONS (path '$dir')
+         |AS SELECT CAST(doc_id AS STRING) AS doc_id,
+         |          array(1, 2, 3) AS tokens,
+         |          3 AS n_tok,
+         |          source
+         |FROM parquet.`$SfDir/documents.parquet`""".stripMargin)
+    assert(spark.sql("SELECT count(*) c FROM graft_sqlw").head().getLong(0) == 500)
+    spark.sql(
+      "INSERT INTO graft_sqlw SELECT '9001', array(7, 8), 2, 'srcX'")
+    val n = spark.sql("SELECT count(*) c FROM graft_sqlw").head().getLong(0)
+    assert(n == 501)
+    val row = spark.sql(
+      "SELECT doc_id, tokens, n_tok, source FROM graft_sqlw WHERE source = 'srcX'")
+      .head()
+    assert(row.getString(0) == "9001" && row.getSeq[Int](1) == Seq(7, 8) &&
+      row.getInt(2) == 2)
+    spark.sql("DROP TABLE graft_sqlw")
+  }
+
+  test("unselective pushed filter skips block pruning (bounded driver collect)") {
+    val saved = GraftScan.MaxPrunedBlockIds
+    try {
+      GraftScan.MaxPrunedBlockIds = 2 // far below this table's block count
+      val df = spark.read.format("graft").load(tableDir)
+        .where(col("source").isin("src1", "src2", "src3", "src4", "src5"))
+      val scan = scanOf(df).scan.asInstanceOf[GraftScan]
+      // every block carries one of the sources → survivors exceed the cap
+      // → pruning disabled, description reports the unpruned scan
+      assert(scan.description().contains("blocks=all"), scan.description())
+      // the residual filter still answers exactly
+      val expect = GraftTable.decode(spark, tableDir).toDF()
+        .where(col("source").isin("src1", "src2", "src3", "src4", "src5")).count()
+      assert(df.count() == expect && expect > 0)
+    } finally GraftScan.MaxPrunedBlockIds = saved
+  }
+
   test("generic-lane tables are rejected with a pointed error") {
     val dir = Files.createTempDirectory("graft-dsv2-gen").toString
     graft.table.GenericTable.encode(

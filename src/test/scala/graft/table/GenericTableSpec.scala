@@ -335,6 +335,37 @@ class GenericTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not supported"))
   }
 
+  test("many same-schema versions decode via ONE scan branch; range skips versions") {
+    val dir = tmpDir("manyver")
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    val mk = (lo: Int, hi: Int) => (lo until hi).toDF("k").select(
+      col("k").cast("long").as("id"), concat(lit("s"), col("k")).as("s"))
+    GenericTable.encode(mk(0, 100), dir, keyCol = "id", opts)
+    (1 until 12).foreach(i => GenericTable.append(mk(i * 100, i * 100 + 100), dir, opts))
+    val dec = GenericTable.decode(spark, dir)
+    assert(dec.count() == 1200)
+    // a streamed table (one version per micro-batch) must not union one
+    // plan branch per version: same-write-schema versions share one
+    // multi-dir parquet scan, so 12 versions plan as ONE scan
+    val plan = dec.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan.take(3000))
+    // a schema EVOLUTION (new leaf plan) adds exactly one more branch
+    GenericTable.append(
+      mk(1200, 1300).withColumn("extra", lit(1)), dir, opts)
+    val plan2 = GenericTable.decode(spark, dir).queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan2).length == 2, plan2.take(3000))
+    // decodeRange consults the manifest's per-version key spans and drops
+    // whole versions' data dirs before any parquet footer is opened
+    val snap = GraftTable.currentSnapshot(spark, dir).get
+    assert(snap.dataDirs.length == 13)
+    val dirs = GenericTable.rangeDataDirs(spark, dir, snap, 250, 260)
+    assert(dirs.length == 1, dirs.mkString(","))
+    val got: Array[Long] = GenericTable.decodeRange(spark, dir, 250, 260)
+      .select("id").as[Long].collect().sorted
+    val want: Array[Long] = (250L to 260L).toArray
+    assert(got.sameElements(want))
+  }
+
   test("high-scale decimals (scale 7..18) round-trip exactly, incl. compact") {
     // scale >= 7 is the regime where a (38,0)-cast restore overflows
     // precision 38 and Spark silently clamps the product scale to 6 —
