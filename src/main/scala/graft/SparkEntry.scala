@@ -247,6 +247,21 @@ object SparkEntry {
             .cast("long")).cast("long").as("sum_qty_cents"))
     }),
 
+    // Generic lane through the DSv2 connector: the same key slice, but via
+    // spark.read.format("graft") — the BETWEEN on the table's range key is
+    // pushed as a [lo, hi] interval onto the per-block key_min/key_max
+    // zone-map columns (parquet row-group pruning, no driver id set)
+    "q_datasource_generic" -> ((s, dir) => {
+      val tdir = lineitemTableDir(s, dir)
+      s.read.format("graft").load(tdir)
+        .where(col("l_orderkey").between(1000L, 2000L))
+        .agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum(col("l_orderkey").cast("long")).cast("long").as("sum_okey"),
+          sum((col("l_quantity").cast("decimal(18,2)") * lit(100))
+            .cast("long")).cast("long").as("sum_qty_cents"))
+    }),
+
     // DataSource V2 read path: the same encoded table consumed via
     // spark.read.format("graft") with a pushed source filter — the filter
     // prunes blocks through the manifest src_list zone maps at plan time,
@@ -761,6 +776,14 @@ object SparkEntry {
         |ORDER BY source""".stripMargin,
 
     "q_decode_range_generic" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+        |       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |         AS sum_qty_cents
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+
+    "q_datasource_generic" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
         |       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)

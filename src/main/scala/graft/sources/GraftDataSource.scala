@@ -184,14 +184,8 @@ class GraftSparkTable(tableDir: String, provided: StructType) extends Table
 
   private lazy val snapOpt = GraftTable.currentSnapshot(SparkSession.active, tableDir)
 
-  private lazy val snap = {
-    val s = snapOpt.getOrElse(
-      throw new IllegalArgumentException(s"no committed graft table at $tableDir"))
-    require(!GenericTable.isGeneric(s),
-      s"$tableDir is a generic-lane table — read it via GenericTable.decode " +
-        "or its catalog view (the DSv2 connector serves the token schema)")
-    s
-  }
+  private lazy val snap = snapOpt.getOrElse(
+    throw new IllegalArgumentException(s"no committed graft table at $tableDir"))
 
   override def name(): String = s"graft:`$tableDir`"
 
@@ -208,7 +202,8 @@ class GraftSparkTable(tableDir: String, provided: StructType) extends Table
       TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableDir, snap)
+    if (GenericTable.isGeneric(snap)) new GraftGenericScanBuilder(tableDir, snap)
+    else new GraftScanBuilder(tableDir, snap)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

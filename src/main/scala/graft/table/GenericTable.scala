@@ -60,7 +60,7 @@ object GenericTable {
     xxhash64(leaves.map(l => xxhash64(col(quoted(l.name)))): _*)
 
   /** (top-level field, its codec leaves), in schema order. */
-  private[table] def planOf(schema: StructType): Seq[(StructField, Seq[Leaf])] = {
+  private[graft] def planOf(schema: StructType): Seq[(StructField, Seq[Leaf])] = {
     require(schema.fields.nonEmpty, "cannot encode a zero-column schema")
     schema.fields.toIndexedSeq.map { f =>
       require(!f.name.startsWith("_graft"),
@@ -206,6 +206,9 @@ object GenericTable {
 
   /** Whether a snapshot was written by the generic lane (catalog routing). */
   def isGeneric(snap: Snapshot): Boolean = snap.stats.toMap.contains(SchemaKey)
+
+  /** The range-key column name a generic snapshot was written with. */
+  private[graft] def keyNameOf(snap: Snapshot): String = snap.stats.toMap.apply(KeyKey)
 
   /** Union-by-name schema merge (Iceberg-style evolution): fields shared
     * with the parent must keep the SAME type (loud error otherwise — no
@@ -694,7 +697,7 @@ object GenericTable {
   /** The schema a given version's blocks were WRITTEN with (schema
     * evolution means it can differ from the current read schema).
     */
-  private def writeSchemaOf(snap: Snapshot): StructType = {
+  private[graft] def writeSchemaOf(snap: Snapshot): StructType = {
     val stats = snap.stats.toMap
     val json = stats.getOrElse(WriteSchemaKey, stats.getOrElse(SchemaKey,
       throw new IllegalStateException(s"v${snap.version} is not generic")))
@@ -736,7 +739,7 @@ object GenericTable {
     * token lane's manifest-semi-join shape). Versions absent from the
     * manifest aggregate (shouldn't happen) stay — never wrongly pruned.
     */
-  private[table] def rangeDataDirs(
+  private[graft] def rangeDataDirs(
       spark: SparkSession,
       tableDir: String,
       snap: Snapshot,

@@ -682,7 +682,7 @@ object GraftTable {
     dir.substring(dir.lastIndexOf("/v") + 2).toInt
 
   /** Snapshot metadata of a specific version, no file validation. */
-  private[table] def snapshotVersion(
+  private[graft] def snapshotVersion(
       spark: SparkSession, tableDir: String, version: Int): Option[Snapshot] =
     readStringOpt(spark, s"$tableDir/metadata/v$version.json").map(parseSnapshot)
 

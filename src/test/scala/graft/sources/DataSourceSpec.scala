@@ -211,11 +211,76 @@ class DataSourceSpec extends AnyFunSuite {
     } finally GraftScan.MaxPrunedBlockIds = saved
   }
 
-  test("generic-lane tables are rejected with a pointed error") {
+  test("generic tables serve through the connector, equal to decode()") {
     val dir = Files.createTempDirectory("graft-dsv2-gen").toString
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
     graft.table.GenericTable.encode(
-      spark.read.parquet(s"$SfDir/documents.parquet"), dir, keyCol = "doc_id")
-    val e = intercept[Exception](spark.read.format("graft").load(dir).collect())
-    assert(e.getMessage.contains("generic"))
+      docs, dir, keyCol = "doc_id", opts = GraftTable.Options(targetRowsPerBlock = 64))
+    val viaDsv2 = spark.read.format("graft").load(dir)
+    assert(viaDsv2.schema == docs.schema)
+    assert(viaDsv2.count() == docs.count())
+    assert(viaDsv2.exceptAll(docs).count() == 0 && docs.exceptAll(viaDsv2).count() == 0)
+    // column pruning reaches the generic scan
+    val pruned = viaDsv2.select("lang")
+    assert(scanOf(pruned).scan.readSchema().fieldNames.toSeq == Seq("lang"))
+    // metadata-only COUNT(*)
+    val cnt = spark.read.format("graft").load(dir).agg(count(lit(1)))
+    assert(scanOf(cnt).scan.isInstanceOf[GraftCountScan])
+    assert(cnt.head().getLong(0) == docs.count())
+  }
+
+  test("generic connector pushes key-range filters as a zone-map interval") {
+    val dir = Files.createTempDirectory("graft-dsv2-genr").toString
+    val rows = (0 until 1000).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+    graft.table.GenericTable.encode(
+      rows, dir, keyCol = "id", opts = GraftTable.Options(targetRowsPerBlock = 64))
+    val df = spark.read.format("graft").load(dir)
+      .where(col("id") >= 100L && col("id") <= 120L)
+    val scan = scanOf(df).scan.asInstanceOf[GraftGenericScan]
+    assert(scan.description().contains("range=[100,120]"), scan.description())
+    val got = df.select("id").collect().map(_.getLong(0)).sorted
+    val want: Array[Long] = (100L to 120L).toArray
+    assert(got.sameElements(want))
+    // equality composes into a one-point interval, stays exact
+    val one = spark.read.format("graft").load(dir).where(col("id") === 777L)
+    assert(scanOf(one).scan.asInstanceOf[GraftGenericScan]
+      .description().contains("range=[777,777]"))
+    assert(one.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((777L, "s777")))
+  }
+
+  test("generic connector reads evolved tables (null-fill) and nested types") {
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft-dsv2-gene").toString
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    val v1 = (0 until 100).map(i => (i.toLong, s"a$i")).toDF("id", "a")
+    graft.table.GenericTable.encode(v1, dir, keyCol = "id", opts)
+    val v2 = (100 until 200).map(i =>
+      (i.toLong, s"a$i", Map("k" -> i), (i * 2, s"n$i"),
+        new Timestamp(i * 1000L), BigDecimal(i).setScale(2)))
+      .toDF("id", "a", "m", "st", "ts", "d")
+      .withColumn("d", col("d").cast("decimal(10,2)"))
+    graft.table.GenericTable.append(v2, dir, opts)
+    val via = spark.read.format("graft").load(dir)
+    val api = graft.table.GenericTable.decode(spark, dir)
+    // the connector reports the STORED schema (exact nullability); the
+    // Scala decode's restore expressions relax nullability — names and
+    // types must agree
+    assert(via.schema.fieldNames.sameElements(api.schema.fieldNames))
+    assert(via.schema.fields.zip(api.schema.fields).forall {
+      case (a, b) => a.dataType.catalogString == b.dataType.catalogString
+    })
+    assert(via.count() == 200)
+    // set ops reject MAP columns, so compare sorted row renderings
+    val viaRows = via.orderBy("id").collect().map(_.toString)
+    val apiRows = api.orderBy("id").collect().map(_.toString)
+    assert(viaRows.sameElements(apiRows))
+    // pre-evolution rows read null for post-evolution columns
+    assert(via.where(col("id") < 100 && col("m").isNull &&
+      col("st").isNull && col("ts").isNull && col("d").isNull).count() == 100)
+    val r = via.where(col("id") === 150L).head()
+    assert(r.getAs[Map[String, Int]]("m") == Map("k" -> 150))
+    assert(r.getAs[org.apache.spark.sql.Row]("st").getInt(0) == 300)
+    assert(r.getAs[java.math.BigDecimal]("d").toString == "150.00")
   }
 }
