@@ -262,6 +262,33 @@ object SparkEntry {
             .cast("long")).cast("long").as("sum_qty_cents"))
     }),
 
+    // list<struct> through the generic lane (the thrift repeated-struct
+    // shape): each document's words become array<struct<i: int, w:
+    // string>>, encode → decode must preserve every element, order, and
+    // field — checked via a position-weighted digest per document
+    "q_roundtrip_liststruct" -> ((s, dir) => {
+      val tdir = tableDirCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, s"S:$dir"), {
+          val d = "/tmp/graft-tables/S1-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+          GenericTable.encode(
+            s.read.parquet(s"$dir/documents.parquet")
+              .select(
+                col("doc_id").cast("long").as("doc_id"),
+                expr("transform(split(text, ' '), (w, i) -> named_struct('i', i, 'w', w))")
+                  .as("xs")),
+            d, keyCol = "doc_id",
+            opts = GraftTable.Options(targetRowsPerBlock = 128))
+          d
+        })
+      GenericTable.decode(s, tdir)
+        .select(
+          col("doc_id").cast("long").as("doc_id"),
+          expr("aggregate(xs, 0L, (a, x) -> a + (x.i + 1) * length(x.w))")
+            .cast("long").as("wsum"),
+          size(col("xs")).cast("long").as("n"))
+        .orderBy("doc_id")
+    }),
+
     // DataSource V2 read path: the same encoded table consumed via
     // spark.read.format("graft") with a pushed source filter — the filter
     // prunes blocks through the manifest src_list zone maps at plan time,
@@ -782,6 +809,17 @@ object SparkEntry {
         |         AS sum_qty_cents
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+
+    "q_roundtrip_liststruct" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(SUM(pos * length(word)) AS BIGINT) AS wsum,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_datasource_generic" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

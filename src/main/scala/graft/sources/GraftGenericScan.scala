@@ -250,6 +250,24 @@ class GraftGenericPartitionReader(
   // decoded leaf arrays of the CURRENT block
   private var leafData: Map[String, Array[Any]] = Map.empty
 
+  /** Storage element type of a scalar inside an array-of-struct leg. */
+  private def storageElemType(dt: DataType): DataType = dt match {
+    case ByteType | ShortType | BooleanType | DateType | IntegerType => IntegerType
+    case LongType | TimestampType | TimestampNTZType => LongType
+    case _: DecimalType => LongType
+    case other => other // string/float/double store as themselves
+  }
+
+  /** Stored element → Catalyst element for array-of-struct legs. */
+  private def elemRestore(dt: DataType): Any => Any = dt match {
+    case ByteType => v => java.lang.Byte.valueOf(v.asInstanceOf[Int].toByte)
+    case ShortType => v => java.lang.Short.valueOf(v.asInstanceOf[Int].toShort)
+    case BooleanType => v => java.lang.Boolean.valueOf(v.asInstanceOf[Int] != 0)
+    case d: DecimalType =>
+      v => Decimal.createUnsafe(v.asInstanceOf[Long], d.precision, d.scale)
+    case _ => identity // date/ts stored forms ARE the internal forms
+  }
+
   /** Per-row value builder for one requested field — mirrors
     * GenericTable.restore at the InternalRow level.
     */
@@ -284,6 +302,38 @@ class GraftGenericPartitionReader(
                 case ByteType => java.lang.Byte.valueOf(a.getInt(j).toByte)
                 case ShortType => java.lang.Short.valueOf(a.getInt(j).toShort)
                 case _ => java.lang.Boolean.valueOf(a.getInt(j) != 0)
+              }
+              j += 1
+            }
+            new GenericArrayData(out)
+          }
+        }
+      case ArrayType(st: StructType, cn) =>
+        // parallel per-field legs share element positions (see
+        // GenericTable's list<struct> shredding); rebuild rows per element
+        val legNames = st.fields.map(f => s"$path.__af.${f.name}")
+        val storage = st.fields.map(f => storageElemType(f.dataType))
+        val convs = st.fields.map(f => elemRestore(f.dataType))
+        i => {
+          val first = leaf(legNames(0))(i)
+          if (first == null) null
+          else {
+            val legs = legNames.map(n => leaf(n)(i).asInstanceOf[ArrayData])
+            val pres =
+              if (cn) leaf(s"$path.__ap")(i).asInstanceOf[ArrayData] else null
+            val n = legs(0).numElements()
+            val out = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              if (pres == null || pres.getInt(j) == 1) {
+                val vals = new Array[Any](legs.length)
+                var c = 0
+                while (c < legs.length) {
+                  if (!legs(c).isNullAt(j))
+                    vals(c) = convs(c)(legs(c).get(j, storage(c)))
+                  c += 1
+                }
+                out(j) = new GenericInternalRow(vals)
               }
               j += 1
             }

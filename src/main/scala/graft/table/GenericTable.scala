@@ -84,6 +84,42 @@ object GenericTable {
     GraftSql.column(org.apache.spark.sql.catalyst.expressions.TimestampAdd(
       "MICROSECOND", GraftSql.expression(c), ntzEpoch))
 
+  /** (array leaf kind, per-element storage normalization) for a scalar
+    * field inside an array-of-struct — the element analogue of the
+    * top-level scalar cases in [[fieldLeaves]]. `_n` kinds throughout:
+    * a null struct element nulls every leg's element.
+    */
+  private def arrayElemLeaf(path: String, dt: DataType): (String, Column => Column) =
+    dt match {
+      case IntegerType => ("arr_int_n", identity)
+      case ByteType | ShortType | BooleanType => ("arr_int_n", _.cast(IntegerType))
+      case LongType => ("arr_long_n", identity)
+      case DateType => ("arr_int_n", unix_date)
+      case TimestampType => ("arr_long_n", unix_micros)
+      case TimestampNTZType => ("arr_long_n", ntzMicros)
+      case d: DecimalType if d.precision <= 18 =>
+        ("arr_long_n", c => (c * lit(new java.math.BigDecimal(
+          java.math.BigInteger.TEN.pow(d.scale)))).cast(LongType))
+      case StringType => ("arr_str_n", identity)
+      case FloatType => ("arr_f32_n", identity)
+      case DoubleType => ("arr_f64_n", identity)
+      case other => throw new UnsupportedOperationException(
+        s"column $path: array-of-struct field type ${other.catalogString} is not " +
+          "supported (scalar types only inside list<struct>)")
+    }
+
+  /** Inverse of [[arrayElemLeaf]]'s normalization, applied per element. */
+  private def arrayElemRestore(dt: DataType): Column => Column = dt match {
+    case ByteType | ShortType | BooleanType => _.cast(dt)
+    case DateType => date_from_unix_date
+    case TimestampType => timestamp_micros
+    case TimestampNTZType => ntzFromMicros
+    case d: DecimalType if d.precision <= 18 =>
+      c => (c.cast(DecimalType(19, 0)) * // see the decimal note in restore
+        lit(new java.math.BigDecimal(java.math.BigInteger.ONE, d.scale))).cast(d)
+    case _ => identity
+  }
+
   private def fieldLeaves(
       path: String, c: Column, dt: DataType, nullable: Boolean): Seq[Leaf] = dt match {
     case IntegerType => Seq(Leaf(path, "int", c))
@@ -114,6 +150,22 @@ object GenericTable {
     case ArrayType(StringType, cn) => Seq(Leaf(path, if (cn) "arr_str_n" else "arr_str", c))
     case ArrayType(FloatType, cn) => Seq(Leaf(path, if (cn) "arr_f32_n" else "arr_f32", c))
     case ArrayType(DoubleType, cn) => Seq(Leaf(path, if (cn) "arr_f64_n" else "arr_f64", c))
+    case ArrayType(st: StructType, cn) =>
+      // list<struct<...>> (the thrift repeated-struct shape): shredded
+      // into one parallel ARRAY leaf per struct field — each row's legs
+      // share the element count, so per-element struct values rebuild by
+      // position. A presence leg (`__ap`) disambiguates null struct
+      // elements from structs of nulls when the schema allows them.
+      require(st.fields.nonEmpty, s"column $path: array of empty struct")
+      val presence =
+        if (cn) Seq(Leaf(s"$path.__ap", "arr_int",
+          transform(c, x => when(x.isNull, lit(0)).otherwise(lit(1)))))
+        else Nil
+      presence ++ st.fields.toIndexedSeq.map { f =>
+        val (kind, enc) = arrayElemLeaf(s"$path.__af.${f.name}", f.dataType)
+        Leaf(s"$path.__af.${f.name}", kind,
+          transform(c, x => enc(x.getField(f.name))))
+      }
     case st: StructType =>
       // shredding: leaves of a struct read null whenever the struct is
       // null; the presence leaf disambiguates null-struct from
@@ -140,8 +192,8 @@ object GenericTable {
     case other => throw new UnsupportedOperationException(
       s"column $path: type ${other.catalogString} is not supported by the generic " +
         "encoder (supported: integral/bool/date/timestamp/string/float/double/" +
-        "binary/decimal(<=18), arrays of int/long/float/double/string, maps of " +
-        "those scalars, nested structs)")
+        "binary/decimal(<=18), arrays of int/long/float/double/string, arrays of " +
+        "scalar-field structs, maps of those scalars, nested structs)")
   }
 
   /** Rebuild the original column from decoded storage leaves. */
@@ -163,6 +215,20 @@ object GenericTable {
         (get(path).cast(DecimalType(19, 0)) *
           lit(new java.math.BigDecimal(java.math.BigInteger.ONE, d.scale))).cast(d)
       case ArrayType(ByteType | ShortType | BooleanType, _) => get(path).cast(dt)
+      case ArrayType(st: StructType, cn) =>
+        // rebuild each element's struct by position from the parallel legs
+        // (transform's indexed lambda: empty arrays map to empty, null
+        // arrays to null — no sequence() pitfalls on zero-length)
+        val base =
+          if (cn) get(s"$path.__ap")
+          else get(s"$path.__af.${st.fields.head.name}")
+        transform(base, (x, i) => {
+          val row = struct(st.fields.toIndexedSeq.map { f =>
+            arrayElemRestore(f.dataType)(
+              element_at(get(s"$path.__af.${f.name}"), i + 1)).as(f.name)
+          }: _*)
+          if (cn) when(x === 0, lit(null)).otherwise(row) else row
+        })
       case _: ArrayType => get(path).cast(dt) // realign containsNull flags
       case st: StructType =>
         val body = struct(st.fields.toIndexedSeq.map(f =>
