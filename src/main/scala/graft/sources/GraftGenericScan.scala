@@ -288,6 +288,9 @@ class GraftGenericPartitionReader(
       case d: DecimalType if d.precision <= 18 => i => { val v = leaf(path)(i)
         if (v == null) null
         else Decimal.createUnsafe(v.asInstanceOf[Long], d.precision, d.scale) }
+      case d: DecimalType => i => { val v = leaf(path)(i) // wide: string leaf
+        if (v == null) null
+        else Decimal(BigDecimal(v.toString), d.precision, d.scale) }
       case ArrayType(ByteType | ShortType | BooleanType, _) =>
         // stored as int arrays; elements convert back
         val elem = dt.asInstanceOf[ArrayType].elementType
@@ -340,6 +343,24 @@ class GraftGenericPartitionReader(
             new GenericArrayData(out)
           }
         }
+      case ArrayType(d: DecimalType, _) =>
+        // stored as unscaled-long (<=18) / exact-string (wide) legs
+        i => { val v = leaf(path)(i)
+          if (v == null) null
+          else {
+            val a = v.asInstanceOf[ArrayData]
+            val out = new Array[Any](a.numElements())
+            var j = 0
+            while (j < out.length) {
+              if (!a.isNullAt(j)) out(j) =
+                if (d.precision <= 18) Decimal.createUnsafe(a.getLong(j), d.precision, d.scale)
+                else Decimal(BigDecimal(a.getUTF8String(j).toString), d.precision, d.scale)
+              j += 1
+            }
+            new GenericArrayData(out)
+          }
+        }
+      // date/timestamp arrays: stored days/micros ARE the internal forms
       case _: ArrayType => i => leaf(path)(i)
       case st: StructType =>
         val children = st.fields.map(f =>

@@ -23,9 +23,11 @@ import graft.table.GraftTable.{EncodeResult, Options, Snapshot}
   * long — restored to the original type on decode), and every leaf payload
   * auto-selects among the engine's codec families (IntBlocks / LongBlocks /
   * StrBlocks / PrimBlocks, NULLABLE-wrapped when the slice has nulls).
-  * Maps shred into key/value array leaves, decimals (precision ≤ 18) store
-  * as unscaled longs. Unsupported shapes (arrays of structs/arrays, wider
-  * decimals) fail loud at plan time, never silently drop.
+  * Maps shred into key/value array leaves (struct values ride the
+  * list<struct> shredding), decimals store as unscaled longs (precision
+  * ≤ 18) or exact digit strings (19..38). Unsupported shapes (arrays of
+  * arrays, non-scalar map keys) fail loud at plan time, never silently
+  * drop.
   *
   * Shares the token table's scale machinery: hash-strided sampled range
   * bounds ([[GraftTable.computeBounds]] — distributed, layout-independent),
@@ -100,6 +102,7 @@ object GenericTable {
       case d: DecimalType if d.precision <= 18 =>
         ("arr_long_n", c => (c * lit(new java.math.BigDecimal(
           java.math.BigInteger.TEN.pow(d.scale)))).cast(LongType))
+      case _: DecimalType => ("arr_str_n", _.cast(StringType)) // wide: exact digits
       case StringType => ("arr_str_n", identity)
       case FloatType => ("arr_f32_n", identity)
       case DoubleType => ("arr_f64_n", identity)
@@ -117,6 +120,7 @@ object GenericTable {
     case d: DecimalType if d.precision <= 18 =>
       c => (c.cast(DecimalType(19, 0)) * // see the decimal note in restore
         lit(new java.math.BigDecimal(java.math.BigInteger.ONE, d.scale))).cast(d)
+    case d: DecimalType => _.cast(d) // wide: string leg → exact decimal
     case _ => identity
   }
 
@@ -135,6 +139,13 @@ object GenericTable {
       Seq(Leaf(path, "long",
         (c * lit(new java.math.BigDecimal(
           java.math.BigInteger.TEN.pow(d.scale)))).cast(LongType)))
+    case d: DecimalType =>
+      // precision 19..38: the unscaled value exceeds int64, so the exact
+      // digits ride a STRING leaf (decimal→string preserves every scale
+      // digit; string→decimal restores them bit-exactly). STR_NUMERIC /
+      // dict codecs keep the storage competitive; range keys fall back to
+      // the hash strategy (keyExprOf), which blocking tolerates.
+      Seq(Leaf(path, "string", c.cast(StringType)))
     case DoubleType => Seq(Leaf(path, "f64", c))
     case FloatType => Seq(Leaf(path, "f32", c))
     case BinaryType => Seq(Leaf(path, "bin", c))
@@ -150,6 +161,11 @@ object GenericTable {
     case ArrayType(StringType, cn) => Seq(Leaf(path, if (cn) "arr_str_n" else "arr_str", c))
     case ArrayType(FloatType, cn) => Seq(Leaf(path, if (cn) "arr_f32_n" else "arr_f32", c))
     case ArrayType(DoubleType, cn) => Seq(Leaf(path, if (cn) "arr_f64_n" else "arr_f64", c))
+    case ArrayType(et @ (DateType | TimestampType | TimestampNTZType | _: DecimalType), _) =>
+      // arrays of temporals/decimals normalize per element onto the scalar
+      // array kinds (`_n` — the normalization can emit nulls)
+      val (kind, enc) = arrayElemLeaf(path, et)
+      Seq(Leaf(path, kind, transform(c, enc)))
     case ArrayType(st: StructType, cn) =>
       // list<struct<...>> (the thrift repeated-struct shape): shredded
       // into one parallel ARRAY leaf per struct field — each row's legs
@@ -179,21 +195,22 @@ object GenericTable {
     case MapType(kt, vt, _) =>
       // maps shred into parallel key/value array leaves (thrift map<K,V>
       // parity); restored via map_from_arrays. A null map yields null
-      // arrays on both legs, so no presence leaf is needed.
+      // arrays on both legs, so no presence leaf is needed. Struct VALUES
+      // ride the list<struct> shredding (one leg per struct field).
       val vcn = dt.asInstanceOf[MapType].valueContainsNull
       val keys = fieldLeaves(s"$path.__mk", map_keys(c),
         ArrayType(kt, containsNull = false), nullable) // map keys are never null
       val values = fieldLeaves(s"$path.__mv", map_values(c),
         ArrayType(vt, containsNull = vcn), nullable)
-      require(keys.length == 1 && values.length == 1, // both must be flat array kinds
-        s"column $path: map key/value types (${kt.catalogString}, ${vt.catalogString}) " +
-          "must be scalar (int/long/string/float/double)")
+      require(keys.length == 1, // keys must be a flat scalar array kind
+        s"column $path: map key type ${kt.catalogString} must be scalar " +
+          "(int/long/string/float/double)")
       keys ++ values
     case other => throw new UnsupportedOperationException(
       s"column $path: type ${other.catalogString} is not supported by the generic " +
         "encoder (supported: integral/bool/date/timestamp/string/float/double/" +
-        "binary/decimal(<=18), arrays of int/long/float/double/string, arrays of " +
-        "scalar-field structs, maps of those scalars, nested structs)")
+        "binary/decimal(any precision), arrays of scalars/temporals/decimals, " +
+        "arrays of scalar-field structs, maps with scalar keys, nested structs)")
   }
 
   /** Rebuild the original column from decoded storage leaves. */
@@ -206,7 +223,9 @@ object GenericTable {
       case DateType => date_from_unix_date(get(path))
       case TimestampType => timestamp_micros(get(path))
       case TimestampNTZType => ntzFromMicros(get(path))
-      case d: DecimalType if d.precision <= 18 =>
+      case d: DecimalType if d.precision > 18 =>
+        get(path).cast(d) // exact string → decimal (stored via cast to string)
+      case d: DecimalType =>
         // DecimalType(19,0) (still holds any int64) keeps the product at
         // precision 20+s ≤ 38 for s ≤ 18, so Spark never invokes
         // adjustPrecisionScale — a (38,0) operand would push the product
@@ -215,6 +234,8 @@ object GenericTable {
         (get(path).cast(DecimalType(19, 0)) *
           lit(new java.math.BigDecimal(java.math.BigInteger.ONE, d.scale))).cast(d)
       case ArrayType(ByteType | ShortType | BooleanType, _) => get(path).cast(dt)
+      case ArrayType(et @ (DateType | TimestampType | TimestampNTZType | _: DecimalType), _) =>
+        transform(get(path), arrayElemRestore(et))
       case ArrayType(st: StructType, cn) =>
         // rebuild each element's struct by position from the parallel legs
         // (transform's indexed lambda: empty arrays map to empty, null
