@@ -254,7 +254,8 @@ class GraftGenericPartitionReader(
   private def storageElemType(dt: DataType): DataType = dt match {
     case ByteType | ShortType | BooleanType | DateType | IntegerType => IntegerType
     case LongType | TimestampType | TimestampNTZType => LongType
-    case _: DecimalType => LongType
+    case d: DecimalType if d.precision <= 18 => LongType
+    case _: DecimalType => StringType // wide: exact digit strings
     case other => other // string/float/double store as themselves
   }
 
@@ -263,8 +264,10 @@ class GraftGenericPartitionReader(
     case ByteType => v => java.lang.Byte.valueOf(v.asInstanceOf[Int].toByte)
     case ShortType => v => java.lang.Short.valueOf(v.asInstanceOf[Int].toShort)
     case BooleanType => v => java.lang.Boolean.valueOf(v.asInstanceOf[Int] != 0)
-    case d: DecimalType =>
+    case d: DecimalType if d.precision <= 18 =>
       v => Decimal.createUnsafe(v.asInstanceOf[Long], d.precision, d.scale)
+    case d: DecimalType =>
+      v => Decimal(BigDecimal(v.toString), d.precision, d.scale)
     case _ => identity // date/ts stored forms ARE the internal forms
   }
 

@@ -155,8 +155,11 @@ object GenericTable {
     case ArrayType(IntegerType, cn) =>
       Seq(Leaf(path, if (cn) "arr_int_n" else "arr_int", c))
     case ArrayType(ByteType | ShortType | BooleanType, cn) =>
+      // element-level cast via transform: an ARRAY-level cast of
+      // array<boolean> to array<int> fails analysis even though the
+      // element cast is legal
       Seq(Leaf(path, if (cn) "arr_int_n" else "arr_int",
-        c.cast(ArrayType(IntegerType, containsNull = cn))))
+        transform(c, _.cast(IntegerType))))
     case ArrayType(LongType, cn) => Seq(Leaf(path, if (cn) "arr_long_n" else "arr_long", c))
     case ArrayType(StringType, cn) => Seq(Leaf(path, if (cn) "arr_str_n" else "arr_str", c))
     case ArrayType(FloatType, cn) => Seq(Leaf(path, if (cn) "arr_f32_n" else "arr_f32", c))
@@ -233,7 +236,8 @@ object GenericTable {
         // fractional digits 7..18
         (get(path).cast(DecimalType(19, 0)) *
           lit(new java.math.BigDecimal(java.math.BigInteger.ONE, d.scale))).cast(d)
-      case ArrayType(ByteType | ShortType | BooleanType, _) => get(path).cast(dt)
+      case ArrayType(et @ (ByteType | ShortType | BooleanType), _) =>
+        transform(get(path), _.cast(et)) // see the encode-side transform note
       case ArrayType(et @ (DateType | TimestampType | TimestampNTZType | _: DecimalType), _) =>
         transform(get(path), arrayElemRestore(et))
       case ArrayType(st: StructType, cn) =>

@@ -1,0 +1,182 @@
+package graft.table
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property test over RANDOM schemas drawn from the generic lane's full
+  * supported grammar (the ebenezer arbitrary-thrift-struct analogue, but
+  * for the whole type system): build a random StructType + random data
+  * (nulls everywhere they are legal), encode, decode, and require exact
+  * row equality. Every shape the encoder claims — scalars, temporals,
+  * decimals narrow AND wide, binary, scalar arrays, temporal/decimal
+  * arrays, list<struct>, maps with struct values, nested structs — can
+  * appear in any combination.
+  */
+class GenericArbitrarySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-arb-$tag").toString
+
+  // ---- type generator (the supported grammar) ----
+
+  private def genScalar(rnd: Random): DataType = rnd.nextInt(14) match {
+    case 0 => IntegerType
+    case 1 => LongType
+    case 2 => StringType
+    case 3 => DoubleType
+    case 4 => FloatType
+    case 5 => ByteType
+    case 6 => ShortType
+    case 7 => BooleanType
+    case 8 => DateType
+    case 9 => TimestampType
+    case 10 => TimestampNTZType
+    case 11 => // narrow decimal
+      val s = rnd.nextInt(19); val p = s + 1 + rnd.nextInt(18 - s + 1)
+      DecimalType(math.min(p, 18), math.min(s, math.min(p, 18)))
+    case 12 => // wide decimal
+      val p = 19 + rnd.nextInt(20); val s = rnd.nextInt(p + 1)
+      DecimalType(p, s)
+    case 13 => BinaryType
+  }
+
+  /** Scalars the ARRAY element position supports (everything but binary). */
+  private def genElem(rnd: Random): DataType = {
+    var t = genScalar(rnd)
+    while (t == BinaryType) t = genScalar(rnd)
+    t
+  }
+
+  /** Map keys: scalar array kinds only. */
+  private def genKey(rnd: Random): DataType =
+    Seq(IntegerType, LongType, StringType, FloatType, DoubleType)(rnd.nextInt(5))
+
+  private def genStructOfScalars(rnd: Random): StructType =
+    StructType((0 until 1 + rnd.nextInt(3)).map(i =>
+      StructField(s"f$i", genElem(rnd), nullable = rnd.nextBoolean())))
+
+  private def genField(rnd: Random, depth: Int): DataType = rnd.nextInt(6) match {
+    case 0 => genScalar(rnd)
+    case 1 => ArrayType(genElem(rnd), containsNull = rnd.nextBoolean())
+    case 2 => ArrayType(genStructOfScalars(rnd), containsNull = rnd.nextBoolean())
+    case 3 =>
+      val vt = if (rnd.nextBoolean()) genStructOfScalars(rnd) else genElem(rnd)
+      MapType(genKey(rnd), vt, valueContainsNull = rnd.nextBoolean())
+    case 4 if depth > 0 =>
+      StructType((0 until 1 + rnd.nextInt(3)).map(i =>
+        StructField(s"n$i", genField(rnd, depth - 1), nullable = rnd.nextBoolean())))
+    case _ => genScalar(rnd)
+  }
+
+  private def genSchema(rnd: Random): StructType =
+    StructType(
+      StructField("id", LongType, nullable = false) +:
+        (0 until 2 + rnd.nextInt(4)).map(i =>
+          StructField(s"c$i", genField(rnd, depth = 2), nullable = true)))
+
+  // ---- data generator (external row types) ----
+
+  private def genValue(rnd: Random, dt: DataType, nullable: Boolean): Any = {
+    if (nullable && rnd.nextInt(5) == 0) return null
+    dt match {
+      case IntegerType => rnd.nextInt()
+      case LongType => rnd.nextLong()
+      case StringType =>
+        val n = rnd.nextInt(12)
+        (0 until n).map(_ => "abπé中 xyz".charAt(rnd.nextInt(9))).mkString
+      case DoubleType =>
+        if (rnd.nextInt(20) == 0) Double.NaN else rnd.nextDouble() * 1e6 - 5e5
+      case FloatType =>
+        if (rnd.nextInt(20) == 0) Float.PositiveInfinity
+        else rnd.nextFloat() * 1e4f - 5e3f
+      case ByteType => rnd.nextInt().toByte
+      case ShortType => rnd.nextInt().toShort
+      case BooleanType => rnd.nextBoolean()
+      case DateType => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(rnd.nextInt(40000) - 5000L))
+      case TimestampType =>
+        val micros = rnd.nextLong() % 4102444800000000L // within +/- ~130y
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+      case TimestampNTZType =>
+        val micros = rnd.nextLong() % 4102444800000000L
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case d: DecimalType =>
+        val digits = 1 + rnd.nextInt(d.precision)
+        val unscaled = new java.math.BigInteger(
+          (0 until digits).map(_ => ('0' + rnd.nextInt(10)).toChar).mkString
+            .replaceAll("^0+(?=.)", "")
+            .prepended(if (rnd.nextBoolean()) '-' else '+').mkString)
+        new java.math.BigDecimal(unscaled, d.scale)
+      case BinaryType => Array.fill[Byte](rnd.nextInt(10))(rnd.nextInt().toByte)
+      case ArrayType(et, cn) =>
+        (0 until rnd.nextInt(4)).map(_ => genValue(rnd, et, cn))
+      case MapType(kt, vt, vcn) =>
+        (0 until rnd.nextInt(4)).map(_ =>
+          genValue(rnd, kt, nullable = false) -> genValue(rnd, vt, vcn)).toMap
+      case st: StructType =>
+        Row.fromSeq(st.fields.toIndexedSeq.map(f =>
+          genValue(rnd, f.dataType, f.nullable)))
+      case other => throw new IllegalStateException(other.catalogString)
+    }
+  }
+
+  /** Value-canonical rendering: binary by content (Row.toString would
+    * print the array reference), maps sorted by rendered key (map order
+    * is not part of map equality), floats by exact bit pattern.
+    */
+  private def canon(v: Any): String = v match {
+    case null => "null"
+    case b: Array[Byte] => b.map(x => f"$x%02x").mkString("x'", "", "'")
+    case d: Double => java.lang.Double.doubleToRawLongBits(d).toString
+    case f: Float => java.lang.Float.floatToRawIntBits(f).toString
+    case r: Row => r.toSeq.map(canon).mkString("{", ",", "}")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => s"${canon(k)}->${canon(x)}" }
+        .sorted.mkString("m[", ",", "]")
+    case s: scala.collection.Seq[_] => s.map(canon).mkString("[", ",", "]")
+    case other => other.toString
+  }
+
+  test("random schemas from the full supported grammar round-trip exactly") {
+    val seed = 20260817L
+    (0 until 12).foreach { trial =>
+      val rnd = new Random(seed + trial)
+      val schema = genSchema(rnd)
+      val rows = new java.util.ArrayList[Row]()
+      (0 until 80).foreach { i =>
+        rows.add(Row.fromSeq(i.toLong +: schema.fields.toIndexedSeq.tail.map(f =>
+          genValue(rnd, f.dataType, f.nullable))))
+      }
+      val df = spark.createDataFrame(rows, schema)
+      val dir = tmpDir(s"t$trial")
+      try GenericTable.encode(df, dir, keyCol = "id",
+        opts = GraftTable.Options(targetRowsPerBlock = 32))
+      catch {
+        case e: Throwable => throw new IllegalStateException(
+          s"trial $trial encode failed for schema ${schema.catalogString}", e)
+      }
+      val want = df.orderBy("id").collect().map(canon)
+      val dec = GenericTable.decode(spark, dir).orderBy("id").collect().map(canon)
+      assert(dec.sameElements(want),
+        s"trial $trial schema ${schema.catalogString}:\n" +
+          dec.zip(want).filter(p => p._1 != p._2).take(3)
+            .map(p => s"  got ${p._1}\n want ${p._2}").mkString("\n"))
+      // the connector must assemble the identical rows
+      val via = spark.read.format("graft").load(dir)
+        .orderBy("id").collect().map(canon)
+      assert(via.sameElements(want), s"trial $trial (DSv2) ${schema.catalogString}")
+    }
+  }
+}
