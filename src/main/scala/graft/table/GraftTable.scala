@@ -1016,11 +1016,11 @@ object GraftTable {
   def registerViews(spark: SparkSession, tableDir: String, name: String = "graft"): Unit = {
     readBlocks(spark, tableDir).createOrReplaceTempView(s"${name}_blocks")
     readManifest(spark, tableDir).createOrReplaceTempView(s"${name}_manifest")
-    val decoded = currentSnapshot(spark, tableDir) match {
-      case Some(s) if GenericTable.isGeneric(s) => GenericTable.decode(spark, tableDir)
-      case _ => decode(spark, tableDir).toDF()
-    }
-    decoded.createOrReplaceTempView(name)
+    // the decoded view routes through the DSv2 connector (both lanes), so
+    // SQL over the view keeps block pruning, key-range interval pushdown,
+    // column projection, and metadata COUNT(*) — a view over the eager
+    // decode DataFrame would full-decode then filter
+    spark.read.format("graft").load(tableDir).createOrReplaceTempView(name)
   }
 
   /** Introspection (SURVEY.md R9/E3): one row per (column, codec) with
