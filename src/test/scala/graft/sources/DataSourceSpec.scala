@@ -171,6 +171,23 @@ class DataSourceSpec extends AnyFunSuite {
     assert(e.getMessage != null) // evolution rejects type-changing columns loudly
   }
 
+  test("write path: ErrorIfExists and Ignore modes behave per contract") {
+    val dir = Files.createTempDirectory("graft-dsv2-modes").toString
+    val src = Tokenize.tokenTable(spark, SfDir).toDF()
+    // default mode is ErrorIfExists: first write creates...
+    src.write.format("graft").option("targetRowsPerBlock", "128").save(dir)
+    val v1 = GraftTable.currentSnapshot(spark, dir).get.version
+    // ...second write must refuse, not append or replace
+    val e = intercept[Exception](src.write.format("graft").save(dir))
+    assert(e.getMessage.toLowerCase.contains("exist"), e.getMessage)
+    assert(GraftTable.currentSnapshot(spark, dir).get.version == v1)
+    // Ignore: a no-op on an existing table
+    src.limit(3).write.format("graft")
+      .mode(org.apache.spark.sql.SaveMode.Ignore).save(dir)
+    assert(GraftTable.currentSnapshot(spark, dir).get.version == v1)
+    assert(spark.read.format("graft").load(dir).count() == 500)
+  }
+
   test("SQL-only round trip: CTAS + INSERT INTO + SELECT through the connector") {
     val dir = Files.createTempDirectory("graft-dsv2-sql").toString
     spark.sql("DROP TABLE IF EXISTS graft_sqlw")
