@@ -213,18 +213,28 @@ object Dedup {
     * band collisions (a pair within Hamming distance 3 collides on at least
     * one of the 4 bands by pigeonhole), verified by exact Hamming distance.
     */
-  def simHash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simHash(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val sk = docs.select(
       col("doc_id").cast("string").as("doc_id"),
       graft_simhash(split(col("text"), " ")).as("sk"))
 
-    val banded = sk.select(
+    val allBands = sk.select(
       col("doc_id"), col("sk"),
       posexplode(transform(
         sequence(lit(0), lit(3)),
         b => call_function("shiftrightunsigned", col("sk"), b * 16).bitwiseAND(lit(0xFFFFL)))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+
+    // bucket cap (the minHashLsh/jaccardPairs analogue): a flood of
+    // identical documents lands one bucket of every band and would make
+    // the self-join quadratic in the flood; buckets above the cap are
+    // skipped — run [[exact]] dedup first so identical texts never get here
+    val smallBuckets = allBands
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bsize"))
+      .where(col("bsize") <= maxBucket)
+      .select("band", "bucket")
+    val banded = allBands.join(smallBuckets, Seq("band", "bucket"), "left_semi")
 
     val a = banded.alias("a")
     val b = banded.alias("b")

@@ -112,6 +112,27 @@ class OpsSpec extends AnyFunSuite {
     assert(found.contains(("7", "90007")))
   }
 
+  test("simhash bucket cap bounds identical-doc floods; normal pairs unaffected") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    // the planted pair must NOT share the flood's text: near-identical
+    // docs land in the flood's (capped) buckets and would be skipped too
+    val other = "one two three four five six seven eight nine ten " * 4
+    val flood = (0 until 200).map(i => (s"dg$i", text))
+    val planted = (flood ++ Seq(("1", other + " tail"), ("2", other + " tail2")))
+      .toDF("doc_id", "text")
+    val out = Dedup.simHash(planted, maxHamming = 8, maxBucket = 50)
+      .select("doc_a", "doc_b").as[(String, String)].collect().toSet
+    // the 200-doc flood exceeds the cap in every band → skipped entirely
+    assert(!out.exists { case (a, b) => a.startsWith("dg") || b.startsWith("dg") })
+    // the small-bucket near-identical pair is still found
+    assert(out.contains(("1", "2")), out.toString)
+    // at the default cap the flood's pairs ARE reported
+    val full = Dedup.simHash(planted, maxHamming = 8)
+      .select("doc_a", "doc_b").as[(String, String)].collect()
+    assert(full.count { case (a, b) => a.startsWith("dg") && b.startsWith("dg") } ==
+      200 * 199 / 2)
+  }
+
   test("embedding near-dup: planted twin vectors are found via LSH buckets") {
     val planted = emb.select(col("vec_id"), col("embedding"))
       .unionAll(emb.where(col("vec_id") < 3)
