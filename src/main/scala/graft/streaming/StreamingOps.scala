@@ -35,6 +35,46 @@ object StreamingOps {
         col("window.end").as("window_end"),
         col("source"), col("docs"), col("tokens"))
 
+  /** Sliding-window token rate: like [[windowedTokenCounts]] but windows
+    * overlap (`slideDuration` < `windowDuration`), so each event counts in
+    * windowDuration/slideDuration windows — the smoothed-rate view.
+    */
+  def slidingTokenCounts(
+      stream: DataFrame,
+      windowDuration: String = "10 seconds",
+      slideDuration: String = "5 seconds",
+      watermark: String = "30 seconds"): DataFrame =
+    stream
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDuration, slideDuration), col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tok").cast("long")).as("tokens"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("source"), col("docs"), col("tokens"))
+
+  /** Session-window activity per source: events within `gap` of each other
+    * merge into one session (native `session_window` — state closes when
+    * the watermark passes a session's end + gap). The ingest-burst view:
+    * one row per (source, burst) with its span and volume.
+    */
+  def sessionizedCounts(
+      stream: DataFrame,
+      gap: String = "10 seconds",
+      watermark: String = "30 seconds"): DataFrame =
+    stream
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tok").cast("long")).as("tokens"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("source"), col("docs"), col("tokens"))
+
   /** Streaming clean-and-encode: dedup the document stream by content
     * digest, tokenize survivors against a fixed broadcast vocab, and land
     * them in the graft table — the streaming analogue of

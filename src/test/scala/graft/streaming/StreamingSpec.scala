@@ -212,6 +212,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows overlap; session windows merge bursts and split on gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+    // sliding: 10s window / 5s slide → an event at t=7 lands in [0,10) AND [5,15)
+    val mem1 = MemoryStream[(java.sql.Timestamp, String, Int)]
+    val sliding = StreamingOps.slidingTokenCounts(
+      mem1.toDF().toDF("event_time", "source", "n_tok"),
+      windowDuration = "10 seconds", slideDuration = "5 seconds",
+      watermark = "5 seconds")
+    val q1 = sliding.writeStream.format("memory")
+      .queryName("slide_counts").outputMode("append").start()
+    try {
+      mem1.addData((ts(7), "a", 10))
+      q1.processAllAvailable()
+      mem1.addData((ts(60), "b", 1)) // watermark past both windows
+      q1.processAllAvailable()
+      val wins = spark.sql(
+        "SELECT window_start, tokens FROM slide_counts WHERE source = 'a' ORDER BY window_start")
+        .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1)))
+      assert(wins.toSeq == Seq((0L, 10L), (5L, 10L)), wins.mkString(","))
+    } finally q1.stop()
+
+    // session: 10s gap → t=1,5,12 chain into ONE session [1,22); t=40 starts another
+    val mem2 = MemoryStream[(java.sql.Timestamp, String, Int)]
+    val sessions = StreamingOps.sessionizedCounts(
+      mem2.toDF().toDF("event_time", "source", "n_tok"),
+      gap = "10 seconds", watermark = "5 seconds")
+    val q2 = sessions.writeStream.format("memory")
+      .queryName("sess_counts").outputMode("append").start()
+    try {
+      mem2.addData((ts(1), "a", 1), (ts(5), "a", 2), (ts(12), "a", 4))
+      q2.processAllAvailable()
+      mem2.addData((ts(40), "a", 8))
+      q2.processAllAvailable()
+      mem2.addData((ts(120), "b", 1)) // close everything
+      q2.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT session_start, session_end, docs, tokens FROM sess_counts " +
+          "WHERE source = 'a' ORDER BY session_start")
+        .collect().map(r => (r.getTimestamp(0).getTime / 1000,
+          r.getTimestamp(1).getTime / 1000, r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((1L, 22L, 3L, 7L), (40L, 50L, 1L, 8L)),
+        rows.mkString(","))
+    } finally q2.stop()
+  }
+
   test("stateful streaming dedup: first doc passes, replicas across batches drop") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, String)]
