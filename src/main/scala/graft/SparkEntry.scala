@@ -1029,7 +1029,7 @@ object SparkEntry {
             else "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
           s"""SELECT '$c' AS "column", CAST(count($c) AS BIGINT) AS cnt,
              |  CAST(count(*) - count($c) AS BIGINT) AS nulls, $minMax
-             |FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet')""".stripMargin
+             |FROM lineitem""".stripMargin
         }
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),
 
