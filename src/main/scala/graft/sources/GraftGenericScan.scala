@@ -363,6 +363,40 @@ class GraftGenericPartitionReader(
             new GenericArrayData(out)
           }
         }
+      case ArrayType(ArrayType(et, _), _) =>
+        // (inner lengths, flat values) legs — see GenericTable's
+        // list<list> shredding; a null length restores a null inner array
+        val lensName = s"$path.__ll"
+        val flatName = s"$path.__lv"
+        val stored = storageElemType(et)
+        val conv = elemRestore(et)
+        i => {
+          val lv = leaf(lensName)(i)
+          if (lv == null) null
+          else {
+            val lens = lv.asInstanceOf[ArrayData]
+            val flat = leaf(flatName)(i).asInstanceOf[ArrayData]
+            val out = new Array[Any](lens.numElements())
+            var off = 0
+            var j = 0
+            while (j < out.length) {
+              if (!lens.isNullAt(j)) {
+                val n = lens.getInt(j)
+                val inner = new Array[Any](n)
+                var k = 0
+                while (k < n) {
+                  if (!flat.isNullAt(off + k))
+                    inner(k) = conv(flat.get(off + k, stored))
+                  k += 1
+                }
+                out(j) = new GenericArrayData(inner)
+                off += n
+              }
+              j += 1
+            }
+            new GenericArrayData(out)
+          }
+        }
       // date/timestamp arrays: stored days/micros ARE the internal forms
       case _: ArrayType => i => leaf(path)(i)
       case st: StructType =>

@@ -25,9 +25,10 @@ import graft.table.GraftTable.{EncodeResult, Options, Snapshot}
   * StrBlocks / PrimBlocks, NULLABLE-wrapped when the slice has nulls).
   * Maps shred into key/value array leaves (struct values ride the
   * list<struct> shredding), decimals store as unscaled longs (precision
-  * ≤ 18) or exact digit strings (19..38). Unsupported shapes (arrays of
-  * arrays, non-scalar map keys) fail loud at plan time, never silently
-  * drop.
+  * ≤ 18) or exact digit strings (19..38); list<list<scalar>> shreds into
+  * an inner-lengths leg + a flattened-values leg. Unsupported shapes
+  * (3+-level array nesting, non-scalar map keys) fail loud at plan time,
+  * never silently drop.
   *
   * Shares the token table's scale machinery: hash-strided sampled range
   * bounds ([[GraftTable.computeBounds]] — distributed, layout-independent),
@@ -169,6 +170,24 @@ object GenericTable {
       // array kinds (`_n` — the normalization can emit nulls)
       val (kind, enc) = arrayElemLeaf(path, et)
       Seq(Leaf(path, kind, transform(c, enc)))
+    case ArrayType(ArrayType(et, icn), _) =>
+      // list<list<scalar>> (nested repetition): two legs — per-row INNER
+      // LENGTHS (null length = null inner array) and the per-row FLATTENED
+      // values (null inners contribute zero elements; the lengths leg
+      // carries their position). Deeper nesting / non-scalar inner
+      // elements fail loud below.
+      if (et.isInstanceOf[ArrayType] || et.isInstanceOf[StructType] ||
+        et.isInstanceOf[MapType])
+        throw new UnsupportedOperationException(
+          s"column $path: list<list<${et.catalogString}>> is not supported " +
+            "(only scalar inner elements — one level of list nesting)")
+      val _ = icn // inner element nulls ride the `_n` flat stream
+      val (flatKind, enc) = arrayElemLeaf(path, et) // scalar normalization
+      Seq(
+        Leaf(s"$path.__ll", "arr_int_n",
+          transform(c, x => when(x.isNull, lit(null)).otherwise(size(x)))),
+        Leaf(s"$path.__lv", flatKind,
+          flatten(transform(filter(c, _.isNotNull), x => transform(x, enc)))))
     case ArrayType(st: StructType, cn) =>
       // list<struct<...>> (the thrift repeated-struct shape): shredded
       // into one parallel ARRAY leaf per struct field — each row's legs
@@ -213,7 +232,8 @@ object GenericTable {
       s"column $path: type ${other.catalogString} is not supported by the generic " +
         "encoder (supported: integral/bool/date/timestamp/string/float/double/" +
         "binary/decimal(any precision), arrays of scalars/temporals/decimals, " +
-        "arrays of scalar-field structs, maps with scalar keys, nested structs)")
+        "arrays of scalar-field structs, arrays of scalar arrays, maps with " +
+        "scalar keys, nested structs)")
   }
 
   /** Rebuild the original column from decoded storage leaves. */
@@ -240,6 +260,24 @@ object GenericTable {
         transform(get(path), _.cast(et)) // see the encode-side transform note
       case ArrayType(et @ (DateType | TimestampType | TimestampNTZType | _: DecimalType), _) =>
         transform(get(path), arrayElemRestore(et))
+      case ArrayType(inner @ ArrayType(et, _), _) =>
+        // rebuild from (inner lengths, flat values) with ONE left fold:
+        // each step slices the next `len` values off the flat stream (a
+        // null length restores a null inner array). No per-element prefix
+        // sums — the running offset rides the fold accumulator.
+        val lens = get(s"$path.__ll")
+        val flat = get(s"$path.__lv")
+        val acc0 = struct(
+          array().cast(ArrayType(inner, containsNull = true)).as("res"),
+          lit(1).as("off"))
+        aggregate(lens, acc0,
+          (acc, len) => struct(
+            array_append(acc.getField("res"),
+              when(len.isNull, lit(null)).otherwise(
+                transform(slice(flat, acc.getField("off"), coalesce(len, lit(0))),
+                  arrayElemRestore(et)))).as("res"),
+            (acc.getField("off") + coalesce(len, lit(0))).as("off")),
+          acc => acc.getField("res"))
       case ArrayType(st: StructType, cn) =>
         // rebuild each element's struct by position from the parallel legs
         // (transform's indexed lambda: empty arrays map to empty, null

@@ -63,7 +63,7 @@ class GenericArbitrarySpec extends AnyFunSuite {
     StructType((0 until 1 + rnd.nextInt(3)).map(i =>
       StructField(s"f$i", genElem(rnd), nullable = rnd.nextBoolean())))
 
-  private def genField(rnd: Random, depth: Int): DataType = rnd.nextInt(6) match {
+  private def genField(rnd: Random, depth: Int): DataType = rnd.nextInt(7) match {
     case 0 => genScalar(rnd)
     case 1 => ArrayType(genElem(rnd), containsNull = rnd.nextBoolean())
     case 2 => ArrayType(genStructOfScalars(rnd), containsNull = rnd.nextBoolean())
@@ -73,6 +73,10 @@ class GenericArbitrarySpec extends AnyFunSuite {
     case 4 if depth > 0 =>
       StructType((0 until 1 + rnd.nextInt(3)).map(i =>
         StructField(s"n$i", genField(rnd, depth - 1), nullable = rnd.nextBoolean())))
+    case 5 => // nested repetition: list<list<scalar>>
+      ArrayType(
+        ArrayType(genElem(rnd), containsNull = rnd.nextBoolean()),
+        containsNull = rnd.nextBoolean())
     case _ => genScalar(rnd)
   }
 

@@ -165,9 +165,9 @@ class GenericTableSpec extends AnyFunSuite {
     val cols = d.map(_.getString(0)).toSet
     assert(cols == Set("doc_id", "text", "lang", "source", "n_chars"))
     assert(d.forall(r => r.getAs[Long]("bytes") > 0))
-    // arrays of arrays are not encodable — loud plan-time error, not a
-    // silent drop (arrays of scalar-field structs ARE, since this round)
-    val bad = docs.withColumn("m", array(array(lit(1))))
+    // triply-nested arrays are not encodable — loud plan-time error, not
+    // a silent drop (list<struct> and list<list<scalar>> ARE, this round)
+    val bad = docs.withColumn("m", array(array(array(lit(1)))))
     val e = intercept[UnsupportedOperationException](
       GenericTable.encode(bad, tmpDir("bad")))
     assert(e.getMessage.contains("not supported"))
@@ -497,6 +497,33 @@ class GenericTableSpec extends AnyFunSuite {
     val e = intercept[UnsupportedOperationException](
       GenericTable.encode(bad, tmpDir("arrstructbad"), keyCol = "id"))
     assert(e.getMessage.contains("list<struct>"))
+  }
+
+  test("list<list<scalar>> round-trips (nested repetition, nulls at all levels)") {
+    val df = spark.sql("""
+      SELECT id,
+             CASE
+               WHEN id % 11 = 0 THEN CAST(NULL AS ARRAY<ARRAY<INT>>)
+               WHEN id % 11 = 1 THEN array()
+               ELSE array(
+                 array(CAST(id AS INT), CAST(NULL AS INT), CAST(id * 2 AS INT)),
+                 CAST(NULL AS ARRAY<INT>),
+                 array(),
+                 array(CAST(id * 3 AS INT)))
+             END AS xi,
+             CASE WHEN id % 7 = 0 THEN NULL ELSE
+               array(array(concat('a', id), NULL), array(), array(concat('b', id)))
+             END AS xs,
+             array(array(timestamp_micros(id * 1000000))) AS xt
+      FROM range(0, 300)
+    """)
+    val dir = tmpDir("listlist")
+    GenericTable.encode(df, dir, keyCol = "id",
+      opts = GraftTable.Options(targetRowsPerBlock = 64))
+    val dec = GenericTable.decode(spark, dir)
+    assert(dec.schema("xi").dataType.catalogString == "array<array<int>>")
+    assertSameRows(dec, df)
+    assertSameRows(spark.read.format("graft").load(dir), df)
   }
 
   test("generic compact merges only fragmented versions and upgrades schema") {
