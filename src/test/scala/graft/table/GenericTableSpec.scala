@@ -526,6 +526,31 @@ class GenericTableSpec extends AnyFunSuite {
     assertSameRows(spark.read.format("graft").load(dir), df)
   }
 
+  test("null range keys encode, decode, and stay OUT of range results") {
+    val df = (0 until 300).toDF("k").select(
+      when(pmod(col("k"), lit(4)) === 0, lit(null))
+        .otherwise(col("k").cast("long")).as("id"),
+      concat(lit("v"), col("k")).as("v"))
+    val dir = tmpDir("nullkey")
+    GenericTable.encode(df, dir, keyCol = "id",
+      opts = GraftTable.Options(targetRowsPerBlock = 64))
+    val dec = GenericTable.decode(spark, dir)
+    assert(dec.count() == 300)
+    assert(dec.where(col("id").isNull).count() == 75)
+    assertSameRows(dec, df)
+    // a key-range slice never returns null-key rows (SQL BETWEEN is
+    // null-false), even though they hash into SOME block's key span
+    val r = GenericTable.decodeRange(spark, dir, 100L, 140L)
+    val ids = r.select("id").collect().map(_.getLong(0)).sorted
+    val want: Array[Long] = (100L to 140L).filter(_ % 4 != 0).toArray
+    assert(ids.sameElements(want), ids.mkString(","))
+    // same through the connector's pushed interval
+    val via = spark.read.format("graft").load(dir)
+      .where(col("id").between(100L, 140L))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(via.sameElements(want))
+  }
+
   test("generic compact merges only fragmented versions and upgrades schema") {
     import org.apache.hadoop.fs.Path
     val dir = tmpDir("gcompact")
