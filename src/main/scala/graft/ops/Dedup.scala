@@ -101,7 +101,11 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-    // bucket-size cap: drop degenerate buckets before the self-join
+    // bucket-size cap: drop degenerate buckets before the self-join.
+    // Deliberately groupBy + broadcast-semi rather than a count window
+    // over (band, bucket): WindowExec buffers each partition-key group in
+    // memory, which is exactly the degenerate-bucket case the cap exists
+    // to survive — the aggregate never buffers a group.
     val smallBuckets = banded
       .groupBy("band", "bucket").agg(count(lit(1)).as("bsize"))
       .where(col("bsize") <= maxBucket)
