@@ -1,8 +1,13 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{graft_minhash, graft_simhash}
 
@@ -22,6 +27,111 @@ import graft.functions.{graft_minhash, graft_simhash}
   *     inside whole-stage codegen, not UDFs.
   */
 object Dedup {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  // ------------------------------------------------- persist lifecycle
+  //
+  // minHashLsh and jaccardPairs persist their shingle frames (three
+  // consumers each — lineage recompute measured +33% on the round-2
+  // bench). The results are LAZY, so the operators cannot unpersist
+  // eagerly, and Spark's CacheManager holds strong references: without an
+  // explicit release, every call leaks a cached relation for the session's
+  // lifetime. Callers that materialize results (pipelines, benchmarks,
+  // threshold sweeps) should call [[releaseCaches]] afterwards —
+  // [[Pipeline.cleanAndEncode]] does. LRU block eviction still bounds the
+  // MEMORY share either way; the disk share is only reclaimed here.
+
+  private val persistedFrames = new ConcurrentLinkedQueue[DataFrame]()
+
+  private def trackedPersist(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(df)
+    df
+  }
+
+  /** Unpersist every frame a Dedup operator persisted since the last
+    * release. Call after the operator results are MATERIALIZED (count /
+    * write / collect) — released frames recompute from lineage if re-used.
+    * Returns the number of frames released.
+    */
+  def releaseCaches(blocking: Boolean = false): Int = {
+    var n = 0
+    var df = persistedFrames.poll()
+    while (df != null) {
+      df.unpersist(blocking)
+      n += 1
+      df = persistedFrames.poll()
+    }
+    n
+  }
+
+  // ------------------------------------------- cap-skip observability
+  //
+  // The degenerate-group caps (maxBucket / maxPrefixBucket) skip flooded
+  // groups, trading recall ON THOSE GROUPS for a bounded self-join. The
+  // skip must never be silent: each capped operator observes (flooded
+  // group count, largest group) in-plan, and a QueryExecutionListener
+  // logs a warning + records the count when any group was skipped.
+  // [[capSkips]] holds the most recent per-operator counts for callers
+  // that want the number programmatically.
+  //
+  // Known edge (measured): when EVERY group is capped, the result is
+  // empty and AQE's empty-relation propagation replaces the executed
+  // subtree with a LocalTableScan — the CollectMetrics node is then
+  // unreachable from the final plan and the warning is lost. In that case
+  // the zero-row RESULT is itself the signal; in every partial-flood case
+  // (the realistic one) the metric survives and the warning fires.
+
+  /** Most recent flooded-group count per operator ("minhash", "jaccard",
+    * "simhash", "embed"), updated when an action completes on a plan that
+    * skipped at least one capped group.
+    */
+  val capSkips = new ConcurrentHashMap[String, Long]()
+
+  private val capSeq = new AtomicLong()
+  private val capSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  private def ensureCapListener(spark: SparkSession): Unit =
+    capSessions.synchronized {
+      if (capSessions.add(spark))
+        spark.listenerManager.register(new QueryExecutionListener {
+          override def onSuccess(
+              funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft_caps_")) {
+                val op = name.stripPrefix("graft_caps_").replaceAll("_\\d+$", "")
+                val skipped = row.getAs[Long]("skipped_groups")
+                if (skipped > 0) {
+                  capSkips.put(op, skipped)
+                  log.warn(
+                    s"graft $op dedup: $skipped candidate group(s) exceeded " +
+                      s"the size cap and were SKIPPED (largest group: " +
+                      s"${row.getAs[Long]("largest_group")} rows) — recall is " +
+                      "reduced on those groups; run Dedup.exact first or " +
+                      "raise the cap")
+                }
+              }
+            }
+          override def onFailure(
+              funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              e: Exception): Unit = ()
+        })
+    }
+
+  /** Attach the flooded-group metric to a (group → size) frame. */
+  private def observeCaps(
+      sized: DataFrame, op: String, sizeCol: String, cap: Int): DataFrame = {
+    ensureCapListener(sized.sparkSession)
+    sized.observe(s"graft_caps_${op}_${capSeq.incrementAndGet()}",
+      sum(when(col(sizeCol) > cap, 1L).otherwise(0L)).as("skipped_groups"),
+      coalesce(max(col(sizeCol)), lit(0L)).as("largest_group"))
+  }
 
   /** Word k-gram shingle set of a text column (distinct, order-free). */
   def shingles(text: Column, k: Int = 3): Column = {
@@ -83,11 +193,11 @@ object Dedup {
     // MEMORY_AND_DISK persists it once: at cluster scale the frame spills
     // to local disk, which still beats re-shingling the corpus twice over.
     // Left persisted (the result is lazy, so eager unpersist would poison
-    // it); Spark's LRU block eviction reclaims it under pressure.
-    val sh = docs.select(
+    // it); callers that materialize results release via [[releaseCaches]],
+    // and Spark's LRU block eviction reclaims it under pressure meanwhile.
+    val sh = trackedPersist(docs.select(
       col("doc_id").cast("string").as("doc_id"),
-      shingles(col("text"), shingleK).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      shingles(col("text"), shingleK).as("sh")))
     val sig = sh.select(
       col("doc_id"), graft_minhash(col("sh"), numHashes).as("sig"))
 
@@ -106,8 +216,9 @@ object Dedup {
     // over (band, bucket): WindowExec buffers each partition-key group in
     // memory, which is exactly the degenerate-bucket case the cap exists
     // to survive — the aggregate never buffers a group.
-    val smallBuckets = banded
-      .groupBy("band", "bucket").agg(count(lit(1)).as("bsize"))
+    val smallBuckets = observeCaps(banded
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bsize")),
+      "minhash", "bsize", maxBucket)
       .where(col("bsize") <= maxBucket)
       .select("band", "bucket")
     val capped = banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
@@ -142,9 +253,12 @@ object Dedup {
     * an element inside their first `|s| − ⌈t·|s|⌉ + 1` elements — so the
     * candidate join explodes only that short prefix (|s|/10 + 1 at
     * t = 0.9), plus the size filter `t·|b| ≤ |a|`. Candidates then verify
-    * with the full exact intersection. Lossless by construction, and the
-    * join volume is driven by co-occurrence of RARE shingles — the 100 TB
-    * shape for an exact join (minHashLsh remains the approximate one).
+    * with the full exact intersection. Lossless by construction EXCEPT on
+    * prefix posting lists above `maxPrefixBucket`, which are skipped (with
+    * a logged warning + [[capSkips]] count) — degenerate boilerplate
+    * floods only; run [[exact]] first. The join volume is driven by
+    * co-occurrence of RARE shingles — the 100 TB shape for an exact join
+    * (minHashLsh remains the approximate one).
     */
   def jaccardPairs(
       docs: DataFrame,
@@ -161,14 +275,14 @@ object Dedup {
     // verification join) — uncached, lineage recomputes the posts⋈freq +
     // collect_list subtree per consumer (the same mistake fixed in
     // minHashLsh); MEMORY_AND_DISK persists it once, spilling at scale.
-    // Left persisted: the result is lazy, eager unpersist would poison it.
-    val ordered = posts.join(freq, "g")
+    // Left persisted: the result is lazy, eager unpersist would poison
+    // it — materialize, then call [[releaseCaches]].
+    val ordered = trackedPersist(posts.join(freq, "g")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("cnt"), col("g")))).as("ord"))
       .select(col("doc_id"),
         expr("transform(ord, x -> x.g)").as("sh"),
-        size(col("ord")).as("sz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        size(col("ord")).as("sz")))
     val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
     val exploded = ordered.select(col("doc_id"), col("sh"), col("sz"),
       explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
@@ -182,8 +296,9 @@ object Dedup {
     // exactly those floods; run [[exact]] dedup first so identical texts
     // never reach this stage. Both consumers of `exploded` re-explode off
     // the PERSISTED `ordered` — no join/agg recompute.
-    val smallGroups = exploded
-      .groupBy("g").agg(count(lit(1)).as("pc"))
+    val smallGroups = observeCaps(exploded
+      .groupBy("g").agg(count(lit(1)).as("pc")),
+      "jaccard", "pc", maxPrefixBucket)
       .where(col("pc") <= maxPrefixBucket)
       .select("g")
     val prefixed = exploded.join(smallGroups, Seq("g"), "left_semi")
@@ -234,8 +349,9 @@ object Dedup {
     // identical documents lands one bucket of every band and would make
     // the self-join quadratic in the flood; buckets above the cap are
     // skipped — run [[exact]] dedup first so identical texts never get here
-    val smallBuckets = allBands
-      .groupBy("band", "bucket").agg(count(lit(1)).as("bsize"))
+    val smallBuckets = observeCaps(allBands
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bsize")),
+      "simhash", "bsize", maxBucket)
       .where(col("bsize") <= maxBucket)
       .select("band", "bucket")
     val banded = allBands.join(smallBuckets, Seq("band", "bucket"), "left_semi")
@@ -302,8 +418,9 @@ object Dedup {
         posexplode(Similarity.hyperplaneBandKeys(col("embedding"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    val smallBuckets = banded
-      .groupBy("band", "bucket").agg(count(lit(1)).as("bsize"))
+    val smallBuckets = observeCaps(banded
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bsize")),
+      "embed", "bsize", maxBucket)
       .where(col("bsize") <= maxBucket)
       .select("band", "bucket")
     val capped = banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")

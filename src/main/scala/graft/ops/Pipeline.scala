@@ -61,8 +61,14 @@ object Pipeline {
     val afterNear = kept3.count()
 
     // 4. tokenize + encode (vocab discovered from the CLEANED corpus)
-    val tokens = Tokenize.tokenTable(kept3, Tokenize.vocab(kept3)).toDF()
-    val res = GraftTable.encode(tokens, tableDir, opts)
-    Report(input, afterQuality, afterExact, afterNear, res)
+    // The encode is the LAST consumer of the near-dup kill list's lineage,
+    // so the shingle caches Dedup persisted release right after it — a
+    // pipeline invoked repeatedly in one session must not accumulate
+    // MEMORY_AND_DISK blocks (see Dedup.releaseCaches).
+    try {
+      val tokens = Tokenize.tokenTable(kept3, Tokenize.vocab(kept3)).toDF()
+      val res = GraftTable.encode(tokens, tableDir, opts)
+      Report(input, afterQuality, afterExact, afterNear, res)
+    } finally Dedup.releaseCaches()
   }
 }

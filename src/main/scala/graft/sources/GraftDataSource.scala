@@ -195,11 +195,14 @@ class GraftSparkTable(tableDir: String, provided: StructType) extends Table
     case None => if (provided != null) provided else GraftDataSource.TokenSchema
   }
 
+  // TRUNCATE (not OVERWRITE_BY_FILTER): the write builder implements only
+  // SupportsTruncate, and TRUNCATE alone is what df.write.mode("overwrite")
+  // / INSERT OVERWRITE need. Advertising OVERWRITE_BY_FILTER would let a
+  // filtered overwrite pass analysis only to fail at runtime.
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER).asJava
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (GenericTable.isGeneric(snap)) new GraftGenericScanBuilder(tableDir, snap)

@@ -858,7 +858,13 @@ object GenericTable {
       schema.fieldNames.toIndexedSeq,
       col("key_max").geq(lo) && col("key_min").leq(hi),
       dataDirs = Some(rangeDataDirs(spark, tableDir, snap, lo, hi)))
-    pruned.where(keyExprOf(key, schema(key).dataType).between(lo, hi))
+    // null keys hash-bucket on encode (keyExprOf is never null — a null
+    // input lands on the xxhash64 seed), but a range slice must not return
+    // them: SQL BETWEEN on a null key is false, and the DSv2 path filters
+    // on the raw column. The explicit isNotNull keeps both paths agreeing
+    // even when [lo, hi] happens to contain the null-hash value.
+    pruned.where(col(quoted(key)).isNotNull &&
+      keyExprOf(key, schema(key).dataType).between(lo, hi))
   }
 
   /** Data dirs whose per-version key span intersects [lo, hi] — the

@@ -85,6 +85,34 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(flood, 0.9).count() == 190L) // C(20,2)
   }
 
+  test("cap skips are logged + recorded; releaseCaches clears shingle caches") {
+    Dedup.capSkips.clear()
+    Dedup.releaseCaches(blocking = true) // drain frames earlier tests left
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // a flood PLUS survivors: with an all-capped (empty) result AQE's
+    // empty-relation propagation can prune the metrics node (documented
+    // in Dedup) — the observable-warning contract is for partial floods
+    val flood = ((0 until 20).map(i => (s"f$i",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z")) ++ Seq(
+      ("x1", "p q r s t u v w a b c d e f g h zz yy xx ww vv uu tt ss rr qq"),
+      ("x2", "p q r s t u v w a b c d e f g h zz yy xx ww vv uu tt ss rr qk")))
+      .toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(flood, 0.5, maxPrefixBucket = 3).count() == 1L)
+    assert(Dedup.minHashLsh(flood, threshold = 0.5, maxBucket = 3).count() == 1L)
+    // a capped skip is never silent: the observed metric reaches the
+    // listener (async — poll bounded) and records per-operator counts
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while ((!Dedup.capSkips.containsKey("jaccard") ||
+      !Dedup.capSkips.containsKey("minhash")) && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(Dedup.capSkips.getOrDefault("jaccard", 0L) > 0, Dedup.capSkips.toString)
+    assert(Dedup.capSkips.getOrDefault("minhash", 0L) > 0, Dedup.capSkips.toString)
+    // both operators persisted a shingle frame; release reclaims them and
+    // leaves no lingering cached RDDs behind (the session-lifetime leak)
+    assert(Dedup.releaseCaches(blocking = true) >= 2)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
+
   test("simhash: near-identical long docs land far closer than unrelated ones") {
     // SimHash needs enough terms for the per-bit counters to concentrate;
     // replicate each text 20× so a single-word change perturbs counters by

@@ -549,6 +549,14 @@ class GenericTableSpec extends AnyFunSuite {
       .where(col("id").between(100L, 140L))
       .select("id").collect().map(_.getLong(0)).sorted
     assert(via.sameElements(want))
+    // a range CONTAINING the null-hash value (xxhash64 of null = the seed,
+    // 42) must still exclude null-key rows — the residual filter cannot
+    // rely on the hashed key alone
+    val r42 = GenericTable.decodeRange(spark, dir, 0L, 100L)
+    assert(r42.where(col("id").isNull).count() == 0)
+    val ids42 = r42.select("id").collect().map(_.getLong(0)).sorted
+    val want42: Array[Long] = (0L to 100L).filter(_ % 4 != 0).toArray
+    assert(ids42.sameElements(want42), ids42.mkString(","))
   }
 
   test("generic compact merges only fragmented versions and upgrades schema") {
