@@ -289,6 +289,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Arbitrary-depth nesting through the generic lane: each document
+    // becomes a depth-3 int array (per word: [[length, 1-based pos]]) plus
+    // a list<map> ([map(lang -> n_chars), map()]); encode → decode must
+    // preserve every level — checked via an order-sensitive positional
+    // digest, the map entry, and the empty-map size
+    "q_roundtrip_deepnest" -> ((s, dir) => {
+      val tdir = tableDirCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, s"D3:$dir"), {
+          val d = "/tmp/graft-tables/D3-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+          GenericTable.encode(
+            s.read.parquet(s"$dir/documents.parquet")
+              .select(
+                col("doc_id").cast("long").as("doc_id"),
+                expr("transform(split(text, ' '), (w, i) -> " +
+                  "array(array(CAST(length(w) AS INT), CAST(i + 1 AS INT))))")
+                  .as("a3"),
+                expr("array(map(lang, CAST(n_chars AS INT)), map())").as("lm")),
+            d, keyCol = "doc_id",
+            opts = GraftTable.Options(targetRowsPerBlock = 128))
+          d
+        })
+      GenericTable.decode(s, tdir)
+        .select(
+          col("doc_id").cast("long").as("doc_id"),
+          expr("CAST(aggregate(a3, 0L, (a, e) -> a + CAST(e[0][1] AS BIGINT) * " +
+            "(CAST(e[0][0] AS BIGINT) * 31 + CAST(e[0][1] AS BIGINT))) AS BIGINT)")
+            .as("d3"),
+          size(col("a3")).cast("long").as("n"),
+          expr("CAST(element_at(map_values(lm[0]), 1) AS BIGINT)").as("m1"),
+          expr("CAST(length(element_at(map_keys(lm[0]), 1)) AS BIGINT)").as("klen"),
+          expr("CAST(size(lm[1]) AS BIGINT)").as("e0"))
+        .orderBy("doc_id")
+    }),
+
     // DataSource V2 read path: the same encoded table consumed via
     // spark.read.format("graft") with a pushed source filter — the filter
     // prunes blocks through the manifest src_list zone maps at plan time,
@@ -816,6 +850,21 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_roundtrip_deepnest" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(SUM(pos * (length(word) * 31 + pos)) AS BIGINT) AS d3,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(MAX(n_chars) AS BIGINT) AS m1,
+        |       CAST(MAX(length(lang)) AS BIGINT) AS klen,
+        |       CAST(0 AS BIGINT) AS e0
+        |FROM (
+        |  SELECT doc_id, n_chars, lang,
+        |         unnest(string_split(text, ' ')) AS word,
         |         generate_subscripts(string_split(text, ' '), 1) AS pos
         |  FROM documents)
         |GROUP BY doc_id

@@ -247,165 +247,59 @@ class GraftGenericPartitionReader(
     fields.flatMap(leavesOf).distinct
   }
 
-  // decoded leaf arrays of the CURRENT block
-  private var leafData: Map[String, Array[Any]] = Map.empty
-
-  /** Storage element type of a scalar inside an array-of-struct leg. */
-  private def storageElemType(dt: DataType): DataType = dt match {
-    case ByteType | ShortType | BooleanType | DateType | IntegerType => IntegerType
-    case LongType | TimestampType | TimestampNTZType => LongType
-    case d: DecimalType if d.precision <= 18 => LongType
-    case _: DecimalType => StringType // wide: exact digit strings
-    case other => other // string/float/double store as themselves
-  }
-
-  /** Stored element → Catalyst element for array-of-struct legs. */
-  private def elemRestore(dt: DataType): Any => Any = dt match {
-    case ByteType => v => java.lang.Byte.valueOf(v.asInstanceOf[Int].toByte)
-    case ShortType => v => java.lang.Short.valueOf(v.asInstanceOf[Int].toShort)
-    case BooleanType => v => java.lang.Boolean.valueOf(v.asInstanceOf[Int] != 0)
-    case d: DecimalType if d.precision <= 18 =>
-      v => Decimal.createUnsafe(v.asInstanceOf[Long], d.precision, d.scale)
-    case d: DecimalType =>
-      v => Decimal(BigDecimal(v.toString), d.precision, d.scale)
-    case _ => identity // date/ts stored forms ARE the internal forms
-  }
+  // decoded leaf arrays of the CURRENT block, in a dense slot array:
+  // builders resolve their slot ONCE at construction and read
+  // `leafArr(slot)(i)` per row — no per-row hash probes in the hot loop
+  private val leafSlot: Map[String, Int] = neededLeaves.zipWithIndex.toMap
+  private val leafArr: Array[Array[Any]] = new Array(neededLeaves.length)
 
   /** Per-row value builder for one requested field — mirrors
-    * GenericTable.restore at the InternalRow level.
+    * GenericTable.restore at the InternalRow level. Fully recursive over
+    * the same leg naming scheme as [[GenericTable.fieldLeaves]], so
+    * arrays nest to any depth (list<list<list<T>>>, list<struct> whose
+    * fields are arrays/structs/maps, list<map<K,V>>, ...).
     */
-  private def builder(path: String, dt: DataType, nullable: Boolean): Int => Any = {
-    def leaf(name: String): Array[Any] = leafData(name)
+  private def builder(path: String, dt: DataType, nullable: Boolean): Int => Any =
     dt match {
       case IntegerType | LongType | StringType | DoubleType | FloatType |
-           BinaryType => i => leaf(path)(i)
-      case ByteType => i => { val v = leaf(path)(i)
-        if (v == null) null else java.lang.Byte.valueOf(v.asInstanceOf[Int].toByte) }
-      case ShortType => i => { val v = leaf(path)(i)
-        if (v == null) null else java.lang.Short.valueOf(v.asInstanceOf[Int].toShort) }
-      case BooleanType => i => { val v = leaf(path)(i)
-        if (v == null) null else java.lang.Boolean.valueOf(v.asInstanceOf[Int] != 0) }
-      case DateType => i => leaf(path)(i) // stored unix_date int == internal days
-      case TimestampType | TimestampNTZType =>
-        i => leaf(path)(i) // stored micros == internal micros
-      case d: DecimalType if d.precision <= 18 => i => { val v = leaf(path)(i)
-        if (v == null) null
-        else Decimal.createUnsafe(v.asInstanceOf[Long], d.precision, d.scale) }
-      case d: DecimalType => i => { val v = leaf(path)(i) // wide: string leaf
-        if (v == null) null
-        else Decimal(BigDecimal(v.toString), d.precision, d.scale) }
-      case ArrayType(ByteType | ShortType | BooleanType, _) =>
-        // stored as int arrays; elements convert back
-        val elem = dt.asInstanceOf[ArrayType].elementType
-        i => { val v = leaf(path)(i)
+           BinaryType =>
+        val s = leafSlot(path); i => leafArr(s)(i)
+      case ByteType =>
+        val s = leafSlot(path)
+        i => { val v = leafArr(s)(i)
+          if (v == null) null else java.lang.Byte.valueOf(v.asInstanceOf[Int].toByte) }
+      case ShortType =>
+        val s = leafSlot(path)
+        i => { val v = leafArr(s)(i)
+          if (v == null) null else java.lang.Short.valueOf(v.asInstanceOf[Int].toShort) }
+      case BooleanType =>
+        val s = leafSlot(path)
+        i => { val v = leafArr(s)(i)
+          if (v == null) null else java.lang.Boolean.valueOf(v.asInstanceOf[Int] != 0) }
+      case DateType => // stored unix_date int == internal days
+        val s = leafSlot(path); i => leafArr(s)(i)
+      case TimestampType | TimestampNTZType => // stored micros == internal micros
+        val s = leafSlot(path); i => leafArr(s)(i)
+      case d: DecimalType if d.precision <= 18 =>
+        val s = leafSlot(path)
+        i => { val v = leafArr(s)(i)
           if (v == null) null
-          else {
-            val a = v.asInstanceOf[ArrayData]
-            val out = new Array[Any](a.numElements())
-            var j = 0
-            while (j < out.length) {
-              if (!a.isNullAt(j)) out(j) = elem match {
-                case ByteType => java.lang.Byte.valueOf(a.getInt(j).toByte)
-                case ShortType => java.lang.Short.valueOf(a.getInt(j).toShort)
-                case _ => java.lang.Boolean.valueOf(a.getInt(j) != 0)
-              }
-              j += 1
-            }
-            new GenericArrayData(out)
-          }
-        }
-      case ArrayType(st: StructType, cn) =>
-        // parallel per-field legs share element positions (see
-        // GenericTable's list<struct> shredding); rebuild rows per element
-        val legNames = st.fields.map(f => s"$path.__af.${f.name}")
-        val storage = st.fields.map(f => storageElemType(f.dataType))
-        val convs = st.fields.map(f => elemRestore(f.dataType))
-        i => {
-          val first = leaf(legNames(0))(i)
-          if (first == null) null
-          else {
-            val legs = legNames.map(n => leaf(n)(i).asInstanceOf[ArrayData])
-            val pres =
-              if (cn) leaf(s"$path.__ap")(i).asInstanceOf[ArrayData] else null
-            val n = legs(0).numElements()
-            val out = new Array[Any](n)
-            var j = 0
-            while (j < n) {
-              if (pres == null || pres.getInt(j) == 1) {
-                val vals = new Array[Any](legs.length)
-                var c = 0
-                while (c < legs.length) {
-                  if (!legs(c).isNullAt(j))
-                    vals(c) = convs(c)(legs(c).get(j, storage(c)))
-                  c += 1
-                }
-                out(j) = new GenericInternalRow(vals)
-              }
-              j += 1
-            }
-            new GenericArrayData(out)
-          }
-        }
-      case ArrayType(d: DecimalType, _) =>
-        // stored as unscaled-long (<=18) / exact-string (wide) legs
-        i => { val v = leaf(path)(i)
+          else Decimal.createUnsafe(v.asInstanceOf[Long], d.precision, d.scale) }
+      case d: DecimalType => // wide: string leaf
+        val s = leafSlot(path)
+        i => { val v = leafArr(s)(i)
           if (v == null) null
-          else {
-            val a = v.asInstanceOf[ArrayData]
-            val out = new Array[Any](a.numElements())
-            var j = 0
-            while (j < out.length) {
-              if (!a.isNullAt(j)) out(j) =
-                if (d.precision <= 18) Decimal.createUnsafe(a.getLong(j), d.precision, d.scale)
-                else Decimal(BigDecimal(a.getUTF8String(j).toString), d.precision, d.scale)
-              j += 1
-            }
-            new GenericArrayData(out)
-          }
-        }
-      case ArrayType(ArrayType(et, _), _) =>
-        // (inner lengths, flat values) legs — see GenericTable's
-        // list<list> shredding; a null length restores a null inner array
-        val lensName = s"$path.__ll"
-        val flatName = s"$path.__lv"
-        val stored = storageElemType(et)
-        val conv = elemRestore(et)
-        i => {
-          val lv = leaf(lensName)(i)
-          if (lv == null) null
-          else {
-            val lens = lv.asInstanceOf[ArrayData]
-            val flat = leaf(flatName)(i).asInstanceOf[ArrayData]
-            val out = new Array[Any](lens.numElements())
-            var off = 0
-            var j = 0
-            while (j < out.length) {
-              if (!lens.isNullAt(j)) {
-                val n = lens.getInt(j)
-                val inner = new Array[Any](n)
-                var k = 0
-                while (k < n) {
-                  if (!flat.isNullAt(off + k))
-                    inner(k) = conv(flat.get(off + k, stored))
-                  k += 1
-                }
-                out(j) = new GenericArrayData(inner)
-                off += n
-              }
-              j += 1
-            }
-            new GenericArrayData(out)
-          }
-        }
-      // date/timestamp arrays: stored days/micros ARE the internal forms
-      case _: ArrayType => i => leaf(path)(i)
+          else Decimal(BigDecimal(v.toString), d.precision, d.scale) }
+      case at: ArrayType => arrayBuilder(path, at)
       case st: StructType =>
         val children = st.fields.map(f =>
           builder(s"$path.${f.name}", f.dataType, nullable = true))
-        val presence: Option[Int => Any] =
-          if (nullable) Some(i => leaf(s"$path.__p")(i)) else None
+        val presSlot = if (nullable) leafSlot(s"$path.__p") else -1
         i => {
-          val here = presence.forall(p => p(i) != null && p(i).asInstanceOf[Int] == 1)
+          val here = presSlot < 0 || {
+            val p = leafArr(presSlot)(i)
+            p != null && p.asInstanceOf[Int] == 1
+          }
           if (!here) null
           else {
             val vals = new Array[Any](children.length)
@@ -425,6 +319,148 @@ class GraftGenericPartitionReader(
         }
       case other => throw new UnsupportedOperationException(other.catalogString)
     }
+
+  /** Builder for one array-shaped leg: returns per-row ArrayData (or null)
+    * whose elements are already in Catalyst internal form for the declared
+    * element type. Recurses exactly like the encode-side shredding.
+    */
+  private def arrayBuilder(path: String, at: ArrayType): Int => Any = at.elementType match {
+    case ByteType | ShortType | BooleanType =>
+      // stored as int arrays; elements convert back
+      val elem = at.elementType
+      val s = leafSlot(path)
+      i => { val v = leafArr(s)(i)
+        if (v == null) null
+        else {
+          val a = v.asInstanceOf[ArrayData]
+          val out = new Array[Any](a.numElements())
+          var j = 0
+          while (j < out.length) {
+            if (!a.isNullAt(j)) out(j) = elem match {
+              case ByteType => java.lang.Byte.valueOf(a.getInt(j).toByte)
+              case ShortType => java.lang.Short.valueOf(a.getInt(j).toShort)
+              case _ => java.lang.Boolean.valueOf(a.getInt(j) != 0)
+            }
+            j += 1
+          }
+          new GenericArrayData(out)
+        }
+      }
+    case d: DecimalType =>
+      // stored as unscaled-long (<=18) / exact-string (wide) legs
+      val s = leafSlot(path)
+      i => { val v = leafArr(s)(i)
+        if (v == null) null
+        else {
+          val a = v.asInstanceOf[ArrayData]
+          val out = new Array[Any](a.numElements())
+          var j = 0
+          while (j < out.length) {
+            if (!a.isNullAt(j)) out(j) =
+              if (d.precision <= 18) Decimal.createUnsafe(a.getLong(j), d.precision, d.scale)
+              else Decimal(BigDecimal(a.getUTF8String(j).toString), d.precision, d.scale)
+            j += 1
+          }
+          new GenericArrayData(out)
+        }
+      }
+    case inner: ArrayType =>
+      // (inner lengths, recursively-rebuilt flat elements) legs — see
+      // GenericTable's nested-repetition shredding; a null length
+      // restores a null inner array, and the flat leg is itself a full
+      // array builder over the (possibly nested) inner element type
+      val lensSlot = leafSlot(s"$path.__ll")
+      val flatB = arrayBuilder(s"$path.__lv",
+        ArrayType(inner.elementType, containsNull = true))
+      val elemT = inner.elementType
+      i => {
+        val lv = leafArr(lensSlot)(i)
+        if (lv == null) null
+        else {
+          val lens = lv.asInstanceOf[ArrayData]
+          val flat = flatB(i).asInstanceOf[ArrayData]
+          val out = new Array[Any](lens.numElements())
+          var off = 0
+          var j = 0
+          while (j < out.length) {
+            if (!lens.isNullAt(j)) {
+              val n = lens.getInt(j)
+              val elems = new Array[Any](n)
+              var k = 0
+              while (k < n) {
+                if (!flat.isNullAt(off + k)) elems(k) = flat.get(off + k, elemT)
+                k += 1
+              }
+              out(j) = new GenericArrayData(elems)
+              off += n
+            }
+            j += 1
+          }
+          new GenericArrayData(out)
+        }
+      }
+    case st: StructType =>
+      // parallel per-field legs share element positions (see
+      // GenericTable's list<struct> shredding); each leg is recursively
+      // rebuilt, so fields may be arrays/structs/maps themselves
+      val cn = at.containsNull
+      val legB = st.fields.map(f =>
+        arrayBuilder(s"$path.__af.${f.name}", ArrayType(f.dataType, containsNull = true)))
+      val ftypes = st.fields.map(_.dataType)
+      val presSlot = if (cn) leafSlot(s"$path.__ap") else -1
+      i => {
+        val legs = new Array[ArrayData](legB.length)
+        var c = 0
+        while (c < legs.length) { legs(c) = legB(c)(i).asInstanceOf[ArrayData]; c += 1 }
+        if (legs(0) == null) null
+        else {
+          val pres =
+            if (presSlot >= 0) leafArr(presSlot)(i).asInstanceOf[ArrayData] else null
+          val n = legs(0).numElements()
+          val out = new Array[Any](n)
+          var j = 0
+          while (j < n) {
+            if (pres == null || pres.getInt(j) == 1) {
+              val vals = new Array[Any](legs.length)
+              c = 0
+              while (c < legs.length) {
+                if (!legs(c).isNullAt(j)) vals(c) = legs(c).get(j, ftypes(c))
+                c += 1
+              }
+              out(j) = new GenericInternalRow(vals)
+            }
+            j += 1
+          }
+          new GenericArrayData(out)
+        }
+      }
+    case mt: MapType =>
+      // per-element keys/values ride two array-of-array legs; zip them
+      // back (a null keys-element ⇔ a null map element)
+      val keysB = arrayBuilder(s"$path.__amk",
+        ArrayType(ArrayType(mt.keyType, containsNull = false), containsNull = true))
+      val valsB = arrayBuilder(s"$path.__amv",
+        ArrayType(ArrayType(mt.valueType, mt.valueContainsNull), containsNull = true))
+      i => {
+        val k = keysB(i)
+        if (k == null) null
+        else {
+          val ka = k.asInstanceOf[ArrayData]
+          val va = valsB(i).asInstanceOf[ArrayData]
+          val out = new Array[Any](ka.numElements())
+          var j = 0
+          while (j < out.length) {
+            if (!ka.isNullAt(j))
+              out(j) = new ArrayBasedMapData(ka.getArray(j), va.getArray(j))
+            j += 1
+          }
+          new GenericArrayData(out)
+        }
+      }
+    // int/long/string/float/double/date/timestamp arrays: stored forms
+    // ARE the internal forms — the leaf ArrayData passes through
+    case _ =>
+      val s = leafSlot(path); i => leafArr(s)(i)
   }
 
   /** One builder per REQUIRED field; fields this version predates emit
@@ -473,10 +509,13 @@ class GraftGenericPartitionReader(
     while (i >= nRows) {
       val g = reader.read()
       if (g == null) return false
-      leafData = neededLeaves.map { n =>
-        n -> AnyColumn.decodeCatalyst(
+      var s = 0
+      while (s < neededLeaves.length) {
+        val n = neededLeaves(s)
+        leafArr(s) = AnyColumn.decodeCatalyst(
           kinds(n), g.getBinary(s"pl_${leafIdx(n)}", 0).getBytes).array
-      }.toMap
+        s += 1
+      }
       nRows = g.getLong("row_count", 0).toInt
       i = 0
     }

@@ -23,12 +23,16 @@ import graft.table.GraftTable.{EncodeResult, Options, Snapshot}
   * long — restored to the original type on decode), and every leaf payload
   * auto-selects among the engine's codec families (IntBlocks / LongBlocks /
   * StrBlocks / PrimBlocks, NULLABLE-wrapped when the slice has nulls).
-  * Maps shred into key/value array leaves (struct values ride the
-  * list<struct> shredding), decimals store as unscaled longs (precision
-  * ≤ 18) or exact digit strings (19..38); list<list<scalar>> shreds into
-  * an inner-lengths leg + a flattened-values leg. Unsupported shapes
-  * (3+-level array nesting, non-scalar map keys) fail loud at plan time,
-  * never silently drop.
+  * Maps shred into key/value array leaves (struct/array keys and values
+  * recurse through the array shredding), decimals store as unscaled longs
+  * (precision ≤ 18) or exact digit strings (19..38). Repetition composes
+  * to ANY depth: each array-of-array level shreds into an inner-lengths
+  * leg + a recursively-shredded flattened leg, array-of-struct into
+  * parallel per-field legs (fields may themselves be arrays/structs/
+  * maps), array-of-map into key/value array-of-array legs. The only
+  * rejected shapes — loud at plan time, never a silent drop — are
+  * map-typed map KEYS (no total equality; Spark rejects them too),
+  * binary inside an array, and empty structs.
   *
   * Shares the token table's scale machinery: hash-strided sampled range
   * bounds ([[GraftTable.computeBounds]] — distributed, layout-independent),
@@ -170,44 +174,55 @@ object GenericTable {
       // array kinds (`_n` — the normalization can emit nulls)
       val (kind, enc) = arrayElemLeaf(path, et)
       Seq(Leaf(path, kind, transform(c, enc)))
-    case ArrayType(ArrayType(et, icn), _) =>
-      // list<list<scalar>> (nested repetition): two legs — per-row INNER
-      // LENGTHS (null length = null inner array) and the per-row FLATTENED
-      // values (null inners contribute zero elements; the lengths leg
-      // carries their position). Deeper nesting / non-scalar inner
-      // elements fail loud below.
-      if (et.isInstanceOf[ArrayType] || et.isInstanceOf[StructType] ||
-        et.isInstanceOf[MapType])
-        throw new UnsupportedOperationException(
-          s"column $path: list<list<${et.catalogString}>> is not supported " +
-            "(only scalar inner elements — one level of list nesting)")
-      val _ = icn // inner element nulls ride the `_n` flat stream
-      val (flatKind, enc) = arrayElemLeaf(path, et) // scalar normalization
-      Seq(
-        Leaf(s"$path.__ll", "arr_int_n",
-          transform(c, x => when(x.isNull, lit(null)).otherwise(size(x)))),
-        Leaf(s"$path.__lv", flatKind,
-          flatten(transform(filter(c, _.isNotNull), x => transform(x, enc)))))
+    case ArrayType(inner: ArrayType, _) =>
+      // nested repetition, ANY depth: two legs — per-row INNER LENGTHS
+      // (null length = null inner array) and the per-row FLATTENED inner
+      // elements (null inners contribute zero elements; the lengths leg
+      // carries their position). The flat leg recurses through
+      // fieldLeaves, so list<list<list<T>>>, list<list<struct>>, etc.
+      // compose out of the same two-leg step applied per level.
+      Leaf(s"$path.__ll", "arr_int_n",
+        transform(c, x => when(x.isNull, lit(null)).otherwise(size(x)))) +:
+        fieldLeaves(s"$path.__lv", flatten(filter(c, _.isNotNull)),
+          ArrayType(inner.elementType, containsNull = true), nullable = true)
     case ArrayType(st: StructType, cn) =>
       // list<struct<...>> (the thrift repeated-struct shape): shredded
-      // into one parallel ARRAY leaf per struct field — each row's legs
-      // share the element count, so per-element struct values rebuild by
-      // position. A presence leg (`__ap`) disambiguates null struct
-      // elements from structs of nulls when the schema allows them.
-      require(st.fields.nonEmpty, s"column $path: array of empty struct")
+      // into parallel ARRAY legs, one subtree per struct field — each
+      // row's legs share the element count, so per-element struct values
+      // rebuild by position. Field legs recurse through fieldLeaves, so
+      // struct fields may themselves be arrays, structs, or maps. A
+      // presence leg (`__ap`) disambiguates null struct elements from
+      // structs of nulls when the schema allows them.
+      require(st.fields.nonEmpty,
+        s"column $path: array of empty struct (struct<>) cannot round-trip " +
+          "— no leg would carry the element count")
       val presence =
         if (cn) Seq(Leaf(s"$path.__ap", "arr_int",
           transform(c, x => when(x.isNull, lit(0)).otherwise(lit(1)))))
         else Nil
-      presence ++ st.fields.toIndexedSeq.map { f =>
-        val (kind, enc) = arrayElemLeaf(s"$path.__af.${f.name}", f.dataType)
-        Leaf(s"$path.__af.${f.name}", kind,
-          transform(c, x => enc(x.getField(f.name))))
+      presence ++ st.fields.toIndexedSeq.flatMap { f =>
+        fieldLeaves(s"$path.__af.${f.name}",
+          transform(c, x => x.getField(f.name)),
+          ArrayType(f.dataType, containsNull = true), nullable = true)
       }
+    case ArrayType(mt: MapType, _) =>
+      // list<map<K,V>>: per-element keys/values give two array-of-array
+      // legs, which recurse through the nested-repetition shredding. A
+      // null map element nulls both legs' elements (no presence needed:
+      // keys-element null ⇔ map element null).
+      fieldLeaves(s"$path.__amk", transform(c, x => map_keys(x)),
+        ArrayType(ArrayType(mt.keyType, containsNull = false),
+          containsNull = true), nullable = true) ++
+        fieldLeaves(s"$path.__amv", transform(c, x => map_values(x)),
+          ArrayType(ArrayType(mt.valueType, containsNull = mt.valueContainsNull),
+            containsNull = true), nullable = true)
     case st: StructType =>
       // shredding: leaves of a struct read null whenever the struct is
       // null; the presence leaf disambiguates null-struct from
       // struct-of-nulls on decode (parquet definition levels, in spirit)
+      require(st.fields.nonEmpty,
+        s"column $path: empty struct (struct<>) cannot round-trip — no " +
+          "leaf would carry its values; drop the column or add a field")
       val presence =
         if (nullable) Seq(Leaf(s"$path.__p", "int",
           when(c.isNull, lit(0)).otherwise(lit(1))))
@@ -217,23 +232,44 @@ object GenericTable {
     case MapType(kt, vt, _) =>
       // maps shred into parallel key/value array leaves (thrift map<K,V>
       // parity); restored via map_from_arrays. A null map yields null
-      // arrays on both legs, so no presence leaf is needed. Struct VALUES
-      // ride the list<struct> shredding (one leg per struct field).
+      // arrays on both legs, so no presence leaf is needed. Both legs
+      // recurse through the array shredding, so keys and values may be
+      // scalars, structs, or arrays. Map-typed keys are rejected loud:
+      // map keys need a total equality, and Spark itself refuses them in
+      // map_from_arrays.
+      require(!containsMap(kt),
+        s"column $path: map key type ${kt.catalogString} contains a map — " +
+          "map-typed keys have no total equality (Spark rejects them too)")
       val vcn = dt.asInstanceOf[MapType].valueContainsNull
       val keys = fieldLeaves(s"$path.__mk", map_keys(c),
         ArrayType(kt, containsNull = false), nullable) // map keys are never null
       val values = fieldLeaves(s"$path.__mv", map_values(c),
         ArrayType(vt, containsNull = vcn), nullable)
-      require(keys.length == 1, // keys must be a flat scalar array kind
-        s"column $path: map key type ${kt.catalogString} must be scalar " +
-          "(int/long/string/float/double)")
       keys ++ values
     case other => throw new UnsupportedOperationException(
       s"column $path: type ${other.catalogString} is not supported by the generic " +
         "encoder (supported: integral/bool/date/timestamp/string/float/double/" +
-        "binary/decimal(any precision), arrays of scalars/temporals/decimals, " +
-        "arrays of scalar-field structs, arrays of scalar arrays, maps with " +
-        "scalar keys, nested structs)")
+        "binary/decimal(any precision), nested structs, maps with non-map keys, " +
+        "and arrays nested to any depth over those — binary inside an array " +
+        "is the one unsupported leaf position)")
+  }
+
+  private def containsMap(t: DataType): Boolean = t match {
+    case _: MapType => true
+    case ArrayType(e, _) => containsMap(e)
+    case StructType(fs) => fs.exists(f => containsMap(f.dataType))
+    case _ => false
+  }
+
+  /** `dt` with every nullability flag relaxed to true — the type the
+    * leg-based restore actually produces (every leg is nullable storage).
+    */
+  private def relaxed(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => ArrayType(relaxed(et), containsNull = true)
+    case StructType(fs) =>
+      StructType(fs.map(f => f.copy(dataType = relaxed(f.dataType), nullable = true)))
+    case MapType(kt, vt, _) => MapType(relaxed(kt), relaxed(vt), valueContainsNull = true)
+    case other => other
   }
 
   /** Rebuild the original column from decoded storage leaves. */
@@ -260,38 +296,53 @@ object GenericTable {
         transform(get(path), _.cast(et)) // see the encode-side transform note
       case ArrayType(et @ (DateType | TimestampType | TimestampNTZType | _: DecimalType), _) =>
         transform(get(path), arrayElemRestore(et))
-      case ArrayType(inner @ ArrayType(et, _), _) =>
-        // rebuild from (inner lengths, flat values) with ONE left fold:
-        // each step slices the next `len` values off the flat stream (a
-        // null length restores a null inner array). No per-element prefix
-        // sums — the running offset rides the fold accumulator.
+      case ArrayType(inner: ArrayType, _) =>
+        // rebuild from (inner lengths, recursively-restored flat values)
+        // with ONE left fold: each step slices the next `len` values off
+        // the flat stream (a null length restores a null inner array). No
+        // per-element prefix sums — the running offset rides the fold
+        // accumulator. Works at ANY depth: `flat` is itself a full
+        // restore of the flat leg's (possibly nested) element type.
         val lens = get(s"$path.__ll")
-        val flat = get(s"$path.__lv")
+        val flat = restore(s"$path.__lv",
+          ArrayType(inner.elementType, containsNull = true), nullable = true, get)
         val acc0 = struct(
-          array().cast(ArrayType(inner, containsNull = true)).as("res"),
+          array().cast(ArrayType(relaxed(inner), containsNull = true)).as("res"),
           lit(1).as("off"))
         aggregate(lens, acc0,
           (acc, len) => struct(
             array_append(acc.getField("res"),
               when(len.isNull, lit(null)).otherwise(
-                transform(slice(flat, acc.getField("off"), coalesce(len, lit(0))),
-                  arrayElemRestore(et)))).as("res"),
+                slice(flat, acc.getField("off"), coalesce(len, lit(0))))).as("res"),
             (acc.getField("off") + coalesce(len, lit(0))).as("off")),
           acc => acc.getField("res"))
       case ArrayType(st: StructType, cn) =>
-        // rebuild each element's struct by position from the parallel legs
-        // (transform's indexed lambda: empty arrays map to empty, null
-        // arrays to null — no sequence() pitfalls on zero-length)
-        val base =
-          if (cn) get(s"$path.__ap")
-          else get(s"$path.__af.${st.fields.head.name}")
+        // rebuild each element's struct by position from the parallel
+        // (recursively restored) legs. transform's indexed lambda: empty
+        // arrays map to empty, null arrays to null — no sequence()
+        // pitfalls on zero-length.
+        val legs = st.fields.toIndexedSeq.map(f =>
+          f.name -> restore(s"$path.__af.${f.name}",
+            ArrayType(f.dataType, containsNull = true), nullable = true, get))
+        val base = if (cn) get(s"$path.__ap") else legs.head._2
         transform(base, (x, i) => {
-          val row = struct(st.fields.toIndexedSeq.map { f =>
-            arrayElemRestore(f.dataType)(
-              element_at(get(s"$path.__af.${f.name}"), i + 1)).as(f.name)
+          val row = struct(legs.map { case (n, leg) =>
+            element_at(leg, i + 1).as(n)
           }: _*)
           if (cn) when(x === 0, lit(null)).otherwise(row) else row
         })
+      case ArrayType(mt: MapType, _) =>
+        // zip the per-element key/value arrays back into maps (a null
+        // keys-element ⇔ a null map element; `when` without `otherwise`
+        // supplies the typed null)
+        val keys = restore(s"$path.__amk",
+          ArrayType(ArrayType(mt.keyType, containsNull = false),
+            containsNull = true), nullable = true, get)
+        val values = restore(s"$path.__amv",
+          ArrayType(ArrayType(mt.valueType, containsNull = mt.valueContainsNull),
+            containsNull = true), nullable = true, get)
+        transform(keys, (k, i) =>
+          when(k.isNotNull, map_from_arrays(k, element_at(values, i + 1))))
       case _: ArrayType => get(path).cast(dt) // realign containsNull flags
       case st: StructType =>
         val body = struct(st.fields.toIndexedSeq.map(f =>

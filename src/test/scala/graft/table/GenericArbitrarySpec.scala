@@ -55,28 +55,53 @@ class GenericArbitrarySpec extends AnyFunSuite {
     t
   }
 
-  /** Map keys: scalar array kinds only. */
-  private def genKey(rnd: Random): DataType =
-    Seq(IntegerType, LongType, StringType, FloatType, DoubleType)(rnd.nextInt(5))
+  /** Map keys: scalars, structs of scalars, or scalar arrays — anything
+    * with a total equality (no maps anywhere, per the encoder's reject;
+    * no binary — keys ride array legs).
+    */
+  private def genKeyT(rnd: Random, depth: Int): DataType = rnd.nextInt(5) match {
+    case 0 if depth > 0 =>
+      StructType((0 until 1 + rnd.nextInt(2)).map(i =>
+        StructField(s"k$i", genElem(rnd), nullable = rnd.nextBoolean())))
+    case 1 if depth > 0 => ArrayType(genElem(rnd), containsNull = false)
+    case _ =>
+      Seq(IntegerType, LongType, StringType, FloatType, DoubleType)(rnd.nextInt(5))
+  }
 
-  private def genStructOfScalars(rnd: Random): StructType =
-    StructType((0 until 1 + rnd.nextInt(3)).map(i =>
-      StructField(s"f$i", genElem(rnd), nullable = rnd.nextBoolean())))
+  /** Types legal under an array/map shredding position: the full grammar
+    * minus binary (the one unsupported leaf position under repetition).
+    */
+  private def genArrayable(rnd: Random, depth: Int): DataType = rnd.nextInt(6) match {
+    case 1 if depth > 0 =>
+      ArrayType(genArrayable(rnd, depth - 1), containsNull = rnd.nextBoolean())
+    case 2 if depth > 0 =>
+      StructType((0 until 1 + rnd.nextInt(3)).map(i =>
+        StructField(s"g$i", genArrayable(rnd, depth - 1), nullable = rnd.nextBoolean())))
+    case 3 if depth > 0 =>
+      MapType(genKeyT(rnd, depth - 1), genArrayable(rnd, depth - 1),
+        valueContainsNull = rnd.nextBoolean())
+    case _ => genElem(rnd)
+  }
 
-  private def genField(rnd: Random, depth: Int): DataType = rnd.nextInt(7) match {
-    case 0 => genScalar(rnd)
+  private def genField(rnd: Random, depth: Int): DataType = rnd.nextInt(8) match {
+    case 0 => genScalar(rnd) // binary legal here (scalar / struct-field position)
     case 1 => ArrayType(genElem(rnd), containsNull = rnd.nextBoolean())
-    case 2 => ArrayType(genStructOfScalars(rnd), containsNull = rnd.nextBoolean())
+    case 2 => // list<struct> whose fields draw from the full arrayable grammar
+      ArrayType(
+        StructType((0 until 1 + rnd.nextInt(3)).map(i =>
+          StructField(s"f$i", genArrayable(rnd, depth), nullable = rnd.nextBoolean()))),
+        containsNull = rnd.nextBoolean())
     case 3 =>
-      val vt = if (rnd.nextBoolean()) genStructOfScalars(rnd) else genElem(rnd)
-      MapType(genKey(rnd), vt, valueContainsNull = rnd.nextBoolean())
+      MapType(genKeyT(rnd, depth), genArrayable(rnd, depth),
+        valueContainsNull = rnd.nextBoolean())
     case 4 if depth > 0 =>
       StructType((0 until 1 + rnd.nextInt(3)).map(i =>
         StructField(s"n$i", genField(rnd, depth - 1), nullable = rnd.nextBoolean())))
-    case 5 => // nested repetition: list<list<scalar>>
+    case 5 => // nested repetition to arbitrary depth: list<list<ANY arrayable>>
       ArrayType(
-        ArrayType(genElem(rnd), containsNull = rnd.nextBoolean()),
+        ArrayType(genArrayable(rnd, depth), containsNull = rnd.nextBoolean()),
         containsNull = rnd.nextBoolean())
+    case 6 => ArrayType(genArrayable(rnd, depth), containsNull = rnd.nextBoolean())
     case _ => genScalar(rnd)
   }
 
@@ -88,7 +113,8 @@ class GenericArbitrarySpec extends AnyFunSuite {
 
   // ---- data generator (external row types) ----
 
-  private def genValue(rnd: Random, dt: DataType, nullable: Boolean): Any = {
+  private def genValue(
+      rnd: Random, dt: DataType, nullable: Boolean, keySafe: Boolean = false): Any = {
     if (nullable && rnd.nextInt(5) == 0) return null
     dt match {
       case IntegerType => rnd.nextInt()
@@ -97,7 +123,11 @@ class GenericArbitrarySpec extends AnyFunSuite {
         val n = rnd.nextInt(12)
         (0 until n).map(_ => "abπé中 xyz".charAt(rnd.nextInt(9))).mkString
       case DoubleType =>
-        if (rnd.nextInt(20) == 0) Double.NaN else rnd.nextDouble() * 1e6 - 5e5
+        // no NaN under a map KEY: two NaNs are distinct to Scala's == (the
+        // external Map keeps both) but Spark normalizes map keys and
+        // rejects the duplicate — Spark itself cannot build such a map
+        if (!keySafe && rnd.nextInt(20) == 0) Double.NaN
+        else rnd.nextDouble() * 1e6 - 5e5
       case FloatType =>
         if (rnd.nextInt(20) == 0) Float.PositiveInfinity
         else rnd.nextFloat() * 1e4f - 5e3f
@@ -125,22 +155,15 @@ class GenericArbitrarySpec extends AnyFunSuite {
         new java.math.BigDecimal(unscaled, d.scale)
       case BinaryType => Array.fill[Byte](rnd.nextInt(10))(rnd.nextInt().toByte)
       case ArrayType(et, cn) =>
-        (0 until rnd.nextInt(4)).map(_ => genValue(rnd, et, cn))
+        (0 until rnd.nextInt(4)).map(_ => genValue(rnd, et, cn, keySafe))
       case MapType(kt, vt, vcn) =>
         (0 until rnd.nextInt(4)).map { _ =>
-          // no NaN keys: two NaNs are distinct under Scala's == (so the
-          // external Map keeps both) but Spark normalizes map keys and
-          // rejects the duplicate — Spark itself cannot build such a map
-          val k = kt match {
-            case DoubleType => rnd.nextDouble() * 1e6
-            case FloatType => rnd.nextFloat() * 1e4f
-            case other => genValue(rnd, other, nullable = false)
-          }
-          k -> genValue(rnd, vt, vcn)
+          genValue(rnd, kt, nullable = false, keySafe = true) ->
+            genValue(rnd, vt, vcn, keySafe)
         }.toMap
       case st: StructType =>
         Row.fromSeq(st.fields.toIndexedSeq.map(f =>
-          genValue(rnd, f.dataType, f.nullable)))
+          genValue(rnd, f.dataType, f.nullable, keySafe)))
       case other => throw new IllegalStateException(other.catalogString)
     }
   }

@@ -165,12 +165,17 @@ class GenericTableSpec extends AnyFunSuite {
     val cols = d.map(_.getString(0)).toSet
     assert(cols == Set("doc_id", "text", "lang", "source", "n_chars"))
     assert(d.forall(r => r.getAs[Long]("bytes") > 0))
-    // triply-nested arrays are not encodable — loud plan-time error, not
-    // a silent drop (list<struct> and list<list<scalar>> ARE, this round)
-    val bad = docs.withColumn("m", array(array(array(lit(1)))))
+    // binary inside an array is the one unsupported leaf position — loud
+    // plan-time error, not a silent drop (arrays now nest to any depth)
+    val bad = docs.withColumn("m", array(col("text").cast("binary")))
     val e = intercept[UnsupportedOperationException](
       GenericTable.encode(bad, tmpDir("bad")))
     assert(e.getMessage.contains("not supported"))
+    // empty structs carry no leaf — rejected loud
+    val bad2 = docs.withColumn("s", struct())
+    val e2 = intercept[IllegalArgumentException](
+      GenericTable.encode(bad2, tmpDir("bad2")))
+    assert(e2.getMessage.contains("empty struct"))
   }
 
   test("map columns round-trip via key/value shredding; SQL views route generically") {
@@ -491,12 +496,19 @@ class GenericTableSpec extends AnyFunSuite {
     // the DSv2 connector assembles the same rows
     val via = spark.read.format("graft").load(dir)
     assertSameRows(via, df)
-    // non-scalar struct fields inside a list fail loud
-    val bad = spark.sql(
-      "SELECT id, array(named_struct('x', array(1, 2))) AS xs FROM range(0, 3)")
-    val e = intercept[UnsupportedOperationException](
+    // map-typed map keys (no total equality) fail loud. Spark's own
+    // analyzer refuses to CONSTRUCT such a map, so the hostile schema
+    // has to arrive via createDataFrame — the reject must still fire at
+    // plan time, before any data is touched.
+    val badSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("xs",
+        MapType(MapType(StringType, IntegerType), IntegerType))))
+    val bad = spark.createDataFrame(
+      new java.util.ArrayList[Row](), badSchema)
+    val e = intercept[IllegalArgumentException](
       GenericTable.encode(bad, tmpDir("arrstructbad"), keyCol = "id"))
-    assert(e.getMessage.contains("list<struct>"))
+    assert(e.getMessage.contains("map"))
   }
 
   test("list<list<scalar>> round-trips (nested repetition, nulls at all levels)") {
@@ -524,6 +536,58 @@ class GenericTableSpec extends AnyFunSuite {
     assert(dec.schema("xi").dataType.catalogString == "array<array<int>>")
     assertSameRows(dec, df)
     assertSameRows(spark.read.format("graft").load(dir), df)
+  }
+
+  test("arbitrary-depth nesting round-trips (depth-3 arrays, list<map>, " +
+    "struct-keyed maps, list<struct> with nested fields)") {
+    val df = spark.sql("""
+      SELECT id,
+             -- depth 3 with nulls at every level
+             CASE
+               WHEN id % 13 = 0 THEN CAST(NULL AS ARRAY<ARRAY<ARRAY<INT>>>)
+               WHEN id % 13 = 1 THEN array()
+               ELSE array(
+                 array(array(CAST(id AS INT), CAST(NULL AS INT)), array(),
+                       CAST(NULL AS ARRAY<INT>)),
+                 CAST(NULL AS ARRAY<ARRAY<INT>>),
+                 array(array(CAST(id * 2 AS INT))))
+             END AS a3,
+             -- list<map<string,long>> with null maps and empty maps
+             CASE WHEN id % 7 = 0 THEN NULL ELSE
+               array(map(concat('k', id), id * 10),
+                     CAST(NULL AS MAP<STRING, BIGINT>),
+                     map())
+             END AS lm,
+             -- struct-keyed map (thrift map<struct,...> parity)
+             map(named_struct('x', CAST(id AS INT), 'y', concat('s', id)),
+                 id * 1.5d) AS mk,
+             -- list<struct> whose fields are themselves nested
+             CASE WHEN id % 11 = 0 THEN NULL ELSE
+               array(named_struct(
+                 'tags', CASE WHEN id % 3 = 0 THEN NULL
+                              ELSE array(concat('t', id), NULL) END,
+                 'kv', map(CAST(id AS INT), timestamp_micros(id * 1000000)),
+                 'inner', named_struct('p', CAST(id AS DECIMAL(30,6)) / 7,
+                                       'q', id % 2 = 0),
+                 'deep', array(array(CAST(id AS BIGINT), NULL), array())))
+             END AS ls
+      FROM range(0, 300)
+    """)
+    val dir = tmpDir("deepnest")
+    GenericTable.encode(df, dir, keyCol = "id",
+      opts = GraftTable.Options(targetRowsPerBlock = 64))
+    val dec = GenericTable.decode(spark, dir)
+    assert(dec.schema("a3").dataType.catalogString == "array<array<array<int>>>")
+    // MAP columns forbid set ops — compare canonical row renderings
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.selectExpr("id", "to_json(struct(a3, lm, mk, ls)) AS j")
+        .collect().map(r => s"${r.getLong(0)}|${r.getString(1)}").sorted.toSeq
+    assert(canon(dec) == canon(df))
+    assert(canon(spark.read.format("graft").load(dir)) == canon(df))
+    // column pruning still works on a deep column
+    val pruned = GenericTable.decodeSelect(spark, dir, Seq("id", "a3"))
+    assert(pruned.columns.toSeq == Seq("id", "a3"))
+    assert(pruned.count() == 300)
   }
 
   test("null range keys encode, decode, and stay OUT of range results") {
