@@ -1012,30 +1012,39 @@ object GenericTable {
   }
 
   /** Per-(column, codec) selection evidence, the generic `describe`.
-    * Versions are summarized under their own write plans (an evolved
-    * table's leaf indices differ per version), then re-aggregated by
-    * column name.
+    * One plan branch per distinct WRITE SCHEMA (leaf indices differ per
+    * schema epoch, so manifests group by epoch, not per version — a
+    * 1000-micro-batch streamed table plans #epochs branches, exactly like
+    * decodeFields), and within a branch every leaf unpivots through ONE
+    * explode instead of a per-leaf union.
     */
   def describe(spark: SparkSession, tableDir: String): DataFrame = {
     val snap = GraftTable.currentSnapshot(spark, tableDir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
-    val perVersion = snap.manifestDirs.groupBy(versionOf).toSeq.sortBy(_._1).map {
+    val byVersion = snap.manifestDirs.groupBy(versionOf).toSeq.sortBy(_._1).map {
       case (ver, dirs) =>
         val vsnap =
           if (ver == snap.version) snap
           else GraftTable.snapshotVersion(spark, tableDir, ver).getOrElse(
             throw new IllegalStateException(s"metadata/v$ver.json missing"))
-        val leaves = planOf(writeSchemaOf(vsnap)).flatMap(_._2)
-        val man = spark.read.json(dirs.map(d => s"$tableDir/$d"): _*)
-        leaves.zipWithIndex.map { case (l, i) =>
-          man.groupBy(col(s"codec_$i").as("codec"))
-            .agg(count(lit(1)).as("blocks"), sum(col(s"bytes_$i")).as("bytes"))
-            .select(lit(l.name).as("column"), col("codec"), col("blocks"), col("bytes"))
-        }.reduce(_ unionAll _)
+        (ver, dirs, writeSchemaOf(vsnap))
     }
-    perVersion.reduce(_ unionAll _)
+    val bySchema = byVersion.groupBy(_._3.json).toSeq
+      .sortBy(_._2.map(_._1).min).map(_._2)
+    val perGroup = bySchema.map { group =>
+      val leaves = planOf(group.head._3).flatMap(_._2)
+      val dirs = group.flatMap(_._2)
+      val man = spark.read.json(dirs.map(d => s"$tableDir/$d"): _*)
+      val entries = array(leaves.zipWithIndex.map { case (l, i) =>
+        struct(lit(l.name).as("column"), col(s"codec_$i").as("codec"),
+          col(s"bytes_$i").cast(LongType).as("bytes"))
+      }: _*)
+      man.select(explode(entries).as("e"))
+        .select(col("e.column"), col("e.codec"), col("e.bytes"))
+    }
+    perGroup.reduce(_ unionAll _)
       .groupBy(col("column"), col("codec"))
-      .agg(sum(col("blocks")).as("blocks"), sum(col("bytes")).as("bytes"))
+      .agg(count(lit(1)).as("blocks"), sum(col("bytes")).as("bytes"))
   }
 }
 
