@@ -340,7 +340,9 @@ final case class GraftCountPartition(count: Long) extends InputPartition
   */
 final case class GraftInputPartition(
     file: String,
-    allowedBlocks: Option[Array[Int]]) extends InputPartition
+    allowedBlocks: Option[Array[Int]],
+    splitStart: Long = 0L,
+    splitEnd: Long = Long.MaxValue) extends InputPartition
 
 object GraftScan {
   /** Driver-side block-pruning ceiling: above this many surviving block
@@ -348,6 +350,18 @@ object GraftScan {
     * row-group filter and the residual Spark filters still apply).
     */
   @volatile var MaxPrunedBlockIds: Int = 262144
+
+  /** Byte ranges for one data file: files above `splitBytes` yield one
+    * range per `splitBytes` stripe, so read parallelism is bounded by
+    * ROW GROUPS, not files — a heavily-compacted version with a few
+    * large files still fans out across a cluster. Parquet's midpoint
+    * rule (a row group belongs to the range holding its middle byte)
+    * makes the stripes exact: each row group is read by exactly one
+    * split, whatever the stripe boundaries cut through.
+    */
+  private[sources] def splitRanges(len: Long, splitBytes: Long): Seq[(Long, Long)] =
+    if (len <= splitBytes || splitBytes <= 0) Seq((0L, Long.MaxValue))
+    else (0L until len by splitBytes).map(s => (s, math.min(s + splitBytes, len)))
 }
 
 class GraftScan(
@@ -423,6 +437,7 @@ class GraftScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
+    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
     val parts = Seq.newBuilder[InputPartition]
     snap.dataDirs.foreach { d =>
       val ver = GraftTable.versionOfDir(d)
@@ -433,7 +448,9 @@ class GraftScan(
         fs.listStatus(dir).foreach { st =>
           val n = st.getPath.getName
           if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-            parts += GraftInputPartition(st.getPath.toString, allowed)
+            GraftScan.splitRanges(st.getLen, splitBytes).foreach { case (s, e) =>
+              parts += GraftInputPartition(st.getPath.toString, allowed, s, e)
+            }
         }
       }
     }
@@ -503,7 +520,9 @@ private[sources] final class TokenBlockCursor(
     val proj = new MessageType(fileSchema.getName,
       names.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
-    val b = ParquetReader.builder(new GroupReadSupport(), path).withConf(conf)
+    var b = ParquetReader.builder(new GroupReadSupport(), path).withConf(conf)
+    if (part.splitStart > 0L || part.splitEnd != Long.MaxValue)
+      b = b.withFileRange(part.splitStart, part.splitEnd)
     part.allowedBlocks match {
       case Some(ids) if ids.length <= 65536 =>
         val hs = new java.util.HashSet[Integer]()

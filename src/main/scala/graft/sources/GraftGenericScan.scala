@@ -148,7 +148,9 @@ class GraftGenericScanBuilder(tableDir: String, snap: GraftTable.Snapshot)
 final case class GraftGenericInputPartition(
     file: String,
     writeSchemaJson: String,
-    range: Option[(Long, Long)]) extends InputPartition
+    range: Option[(Long, Long)],
+    splitStart: Long = 0L,
+    splitEnd: Long = Long.MaxValue) extends InputPartition
 
 class GraftGenericScan(
     tableDir: String,
@@ -170,6 +172,7 @@ class GraftGenericScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
+    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
     // whole-version pruning from the manifest key spans (tiny JSON read on
     // the driver — the interval itself, never an id set)
     val liveDirs = range match {
@@ -190,7 +193,12 @@ class GraftGenericScan(
           fs.listStatus(dir).foreach { st =>
             val n = st.getPath.getName
             if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-              parts += GraftGenericInputPartition(st.getPath.toString, wjson, range)
+              // sub-file splits: read parallelism bounded by row groups,
+              // not files (see GraftScan.splitRanges)
+              GraftScan.splitRanges(st.getLen, splitBytes).foreach { case (lo, hi) =>
+                parts += GraftGenericInputPartition(
+                  st.getPath.toString, wjson, range, lo, hi)
+              }
           }
         }
     }
@@ -486,7 +494,9 @@ class GraftGenericPartitionReader(
     val proj = new MessageType(fileSchema.getName,
       names.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
-    val b = ParquetReader.builder(new GroupReadSupport(), path).withConf(conf)
+    var b = ParquetReader.builder(new GroupReadSupport(), path).withConf(conf)
+    if (part.splitStart > 0L || part.splitEnd != Long.MaxValue)
+      b = b.withFileRange(part.splitStart, part.splitEnd)
     part.range match {
       case Some((lo, hi)) =>
         // a block can hold keys in [lo, hi] iff key_max >= lo AND

@@ -55,6 +55,48 @@ class DataSourceSpec extends AnyFunSuite {
         .select(sum(expr("aggregate(tokens, 0L, (a, t) -> a + t)"))).head().getLong(0))
   }
 
+  test("sub-file splits: a large data file fans out by row group, exactly") {
+    // force many tiny ROW GROUPS inside few files, then plan with a small
+    // maxPartitionBytes: read parallelism must exceed the file count (a
+    // heavily-compacted 100 TB version has few large files — parallelism
+    // must come from row-group stripes), and parquet's midpoint rule must
+    // keep every row read exactly once across the stripe boundaries
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", "8192") // 8 KB row groups
+    val dir =
+      try {
+        val d = Files.createTempDirectory("graft-split").toString
+        GraftTable.encode(
+          Tokenize.tokenTable(spark, "/root/testdata/sf0.01").toDF(), d,
+          GraftTable.Options(targetRowsPerBlock = 64))
+        d
+      } finally {
+        if (oldBlock == null) hconf.unset("parquet.block.size")
+        else hconf.set("parquet.block.size", oldBlock)
+      }
+    val snap = GraftTable.currentSnapshot(spark, dir).get
+    val nFiles = snap.dataDirs.map { dd =>
+      new java.io.File(s"$dir/$dd").listFiles()
+        .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    }.sum
+    val oldSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    try {
+      val df = spark.read.format("graft").load(dir)
+      val parts = scanOf(df).inputRDD.getNumPartitions
+      assert(parts > nFiles, s"expected row-group fan-out, got $parts parts for $nFiles files")
+      // exactness across stripe boundaries: totals and row multiplicity
+      val want = GraftTable.decode(spark, dir).toDF()
+        .agg(count(lit(1)), sum("n_tok"),
+          sum(Tokenize.checksumCol(col("tokens")))).head()
+      val got = df
+        .agg(count(lit(1)), sum("n_tok"),
+          sum(Tokenize.checksumCol(col("tokens")))).head()
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
+  }
+
   test("doc_id equality prunes blocks at plan time and still answers exactly") {
     val df = spark.read.format("graft").load(tableDir).where(col("doc_id") === "123")
     val scan = scanOf(df).scan.asInstanceOf[GraftScan]
