@@ -30,17 +30,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // each query runs twice: `first` carries one-time costs (whole-stage
+    // codegen + JIT + scratch-table builds) that amortize to zero at
+    // scale; `steady` is the number that extrapolates. Reporting both
+    // makes a contended driver window unable to manufacture per-query
+    // "regressions" out of compile noise.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val first = once()
+        val steady = once()
+        (name, first, steady, true)
+      } catch {
+        case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+          (name, -1.0, -1.0, false)
+      }
     }
-    val errors = results.filterNot(_._3).map(_._1)
+    val errors = results.filterNot(_._4).map(_._1)
 
     // headline: encode/decode throughput + compression on this SF's token
     // table, replicated so the timed job is compute-bound rather than
@@ -91,12 +102,17 @@ object Bench {
     }
     val decSec = decRuns.min
 
-    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
+    val qs = results.map { case (k, v, _, _) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val qsSteady = results.map { case (k, _, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val errsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.filter(_._3).map(_._2).sum
+    val total = results.filter(_._4).map(_._2).sum
+    val totalSteady = results.filter(_._4).map(_._3).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errsJson,"sf":"$sfDir",""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""total_steady":$totalSteady%.3f,"queries_steady":$qsSteady,""" +
+        f""""errors":$errsJson,"sf":"$sfDir",""" +
         f""""repl":$repl,"encode_sec":$encSec%.3f,"tokens":${enc.tokenCount},""" +
         f""""tokens_per_sec":${enc.tokenCount / encSec}%.0f,""" +
         s""""encode_all_runs_sec":${timed.map(t => f"${t._1}%.3f").mkString("[", ",", "]")},""" +

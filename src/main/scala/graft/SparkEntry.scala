@@ -222,6 +222,23 @@ object SparkEntry {
           length(col("doc_b")), col("doc_b"))
     }),
 
+    // Connected components over the exact near-dup pairs: transitive
+    // closure via pointer-jumping min-label propagation — one canonical
+    // doc per near-dup cluster (pairs alone cannot decide keep/drop when
+    // A~B~C but A!~C). Oracle: DuckDB recursive CTE over the same
+    // brute-force pair set.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val out = Dedup.clusters(Dedup.jaccardPairs(docs, threshold = 0.9), docs)
+        .select(
+          col("doc_id").cast("long").as("doc_id"),
+          col("cluster_id").cast("long").as("cluster_id"),
+          col("cluster_size").cast("long").as("cluster_size"),
+          when(col("is_canonical"), 1L).otherwise(0L).as("canonical"))
+        .orderBy("doc_id")
+      out
+    }),
+
     // Time travel: the table exactly as of version 1 (before the second
     // ingest batch); the oracle recomputes v1's slice from the source
     "q_timetravel" -> ((s, dir) => {
@@ -853,6 +870,42 @@ object SparkEntry {
         |         generate_subscripts(string_split(text, ' '), 1) AS pos
         |  FROM documents)
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |         list_distinct([array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+        |           for i in range(1, greatest(len(string_split(text,' '))-2, 1)+1)]) AS s
+        |  FROM documents
+        |),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b
+        |    ON (length(a.doc_id) < length(b.doc_id)
+        |        OR (length(a.doc_id) = length(b.doc_id) AND a.doc_id < b.doc_id))
+        |  WHERE (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |         / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)) >= 0.9
+        |),
+        |edges AS (
+        |  SELECT doc_a AS v, doc_b AS w FROM prs
+        |  UNION
+        |  SELECT doc_b AS v, doc_a AS w FROM prs
+        |),
+        |reach AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS v, CAST(doc_id AS VARCHAR) AS r
+        |  FROM documents
+        |  UNION
+        |  SELECT e.v, reach.r FROM edges e JOIN reach ON reach.v = e.w
+        |),
+        |lbl AS (SELECT v, MIN(CAST(r AS BIGINT)) AS cid FROM reach GROUP BY v),
+        |sz AS (SELECT cid, COUNT(*) AS n FROM lbl GROUP BY cid)
+        |SELECT CAST(lbl.v AS BIGINT) AS doc_id,
+        |       CAST(lbl.cid AS BIGINT) AS cluster_id,
+        |       CAST(sz.n AS BIGINT) AS cluster_size,
+        |       CAST(CASE WHEN CAST(lbl.v AS BIGINT) = lbl.cid THEN 1 ELSE 0 END
+        |         AS BIGINT) AS canonical
+        |FROM lbl JOIN sz ON lbl.cid = sz.cid
         |ORDER BY doc_id""".stripMargin,
 
     "q_roundtrip_deepnest" ->

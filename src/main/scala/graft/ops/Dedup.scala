@@ -373,6 +373,79 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Connected components over near-duplicate pairs: every document
+    * reachable through a chain of pairs gets the same cluster id (its
+    * smallest member under the (length, lexicographic) id order every
+    * pair operator uses), so a pipeline can keep exactly one canonical
+    * document per near-dup cluster — pairwise output alone cannot decide
+    * keep/drop when A~B and B~C but A!~C.
+    *
+    * Distributed min-label propagation with POINTER JUMPING: each round
+    * first takes the min label over the neighborhood (one edge join +
+    * groupBy), then jumps `lbl(v) := lbl(lbl(v))` (one self-join), which
+    * doubles the distance a label travels per round — a diameter-D
+    * component converges in O(log D) rounds, not O(D) (the naive
+    * propagation a drifting-boilerplate chain would defeat). Everything
+    * is id-only: no text/shingles travel, so a round shuffles
+    * O(|V| + |E|) ids regardless of document size.
+    *
+    * Returns one row per INPUT document: (doc_id, cluster_id,
+    * cluster_size, is_canonical); unpaired documents are singleton
+    * clusters of themselves. The edge frame is persisted (one consumer
+    * per round) — call [[releaseCaches]] after materializing; label
+    * generations are eagerly checkpointed and reclaimed by the
+    * ContextCleaner.
+    */
+  def clusters(pairs: DataFrame, docs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val idMin = (c: Column) => struct(length(c).as("l"), c.as("s"))
+    val edges = trackedPersist(
+      pairs.select(col("doc_a").as("v"), col("doc_b").as("w"))
+        .unionAll(pairs.select(col("doc_b").as("v"), col("doc_a").as("w"))))
+    // each generation is EAGERLY localCheckpoint-ed: an iterative frame
+    // rebuilt on its predecessor doubles its LOGICAL plan every round
+    // (the self-join references the previous generation twice), so by
+    // round ~20 the un-truncated plan tree alone OOMs the driver —
+    // caching does not help (it only short-circuits execution, not the
+    // plan). Checkpoint blocks are executor-local (the standard iterative
+    // graph-algorithm trade: a lost executor fails the job and the
+    // caller reruns); the ContextCleaner reclaims old generations.
+    var labels = docs.select(col("doc_id").cast("string").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // neighbor min: lbl(v) <- min over N(v) + self
+      val viaEdges = edges
+        .join(labels.select(col("v").as("w"), col("lbl")), "w")
+        .select(col("v"), col("lbl"))
+      val m1 = labels.select(col("v"), col("lbl")).unionAll(viaEdges)
+        .groupBy("v").agg(min(idMin(col("lbl"))).as("m"))
+        .select(col("v"), col("m.s").as("lbl"))
+      // pointer jump: lbl(v) <- lbl(lbl(v)) (labels are always doc ids,
+      // so the left join only misses when lbl is already canonical-free;
+      // coalesce keeps it)
+      val next = m1
+        .join(m1.select(col("v").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
+        .select(col("v"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.alias("n")
+        .join(labels.alias("o"), "v")
+        .where(col("n.lbl") =!= col("o.lbl"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      log.warn(s"graft dedup clusters: not converged after $maxIters rounds " +
+        "(component diameter > 2^iters is pathological); labels are a valid " +
+        "REFINEMENT (over-segmented), never a wrong merge")
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"), (col("v") === col("lbl")).as("is_canonical"))
+  }
+
   /** Brute-force exact n-gram Jaccard pairs ≥ threshold — the correctness
     * oracle for [[minHashLsh]]; quadratic, small inputs only.
     */

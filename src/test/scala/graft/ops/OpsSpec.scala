@@ -85,6 +85,37 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(flood, 0.9).count() == 190L) // C(20,2)
   }
 
+  test("clusters: transitive closure over pairs, canonical = smallest id") {
+    // chain 1: 2-3-10 (transitively connected even though 2!~10);
+    // chain 2: 7-8; 5 and 9 are singletons. Ids chosen so (length, lex)
+    // order != plain lex order ("10" < "2" lexicographically but 2 is
+    // smaller by (length, lex)).
+    val pairs = Seq(("2", "3"), ("3", "10"), ("7", "8"))
+      .toDF("doc_a", "doc_b")
+    val ds = Seq("2", "3", "10", "7", "8", "5", "9").toDF("doc_id")
+    val out = Dedup.clusters(pairs, ds).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    Dedup.releaseCaches(blocking = true)
+    assert(out("2") == (("2", 3L, true)))
+    assert(out("3") == (("2", 3L, false)))
+    assert(out("10") == (("2", 3L, false)))
+    assert(out("7") == (("7", 2L, true)))
+    assert(out("8") == (("7", 2L, false)))
+    assert(out("5") == (("5", 1L, true)))
+    assert(out("9") == (("9", 1L, true)))
+    // a long chain converges through pointer jumping (diameter 40 needs
+    // ~log2(40) rounds, well under the default cap)
+    val chain = (0 until 40).map(i => (s"c%03d".format(i), s"c%03d".format(i + 1)))
+      .toDF("doc_a", "doc_b")
+    val chainDocs = (0 to 40).map(i => s"c%03d".format(i)).toDF("doc_id")
+    val labels = Dedup.clusters(chain, chainDocs).collect()
+    Dedup.releaseCaches(blocking = true)
+    assert(labels.length == 41)
+    assert(labels.forall(_.getString(1) == "c000"))
+    assert(labels.count(_.getBoolean(3)) == 1)
+  }
+
   test("cap skips are logged + recorded; releaseCaches clears shingle caches") {
     Dedup.capSkips.clear()
     Dedup.releaseCaches(blocking = true) // drain frames earlier tests left

@@ -176,6 +176,16 @@ class GenericTableSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       GenericTable.encode(bad2, tmpDir("bad2")))
     assert(e2.getMessage.contains("empty struct"))
+    // array<struct<>> has no leg to carry the element count — rejected
+    val bad3 = docs.withColumn("s", array(struct()))
+    val e3 = intercept[IllegalArgumentException](
+      GenericTable.encode(bad3, tmpDir("bad3")))
+    assert(e3.getMessage.contains("empty struct"))
+    // a NullType column (untyped lit(null)) has no storage kind — rejected
+    val bad4 = docs.withColumn("z", lit(null))
+    val e4 = intercept[UnsupportedOperationException](
+      GenericTable.encode(bad4, tmpDir("bad4")))
+    assert(e4.getMessage.contains("not supported"))
   }
 
   test("map columns round-trip via key/value shredding; SQL views route generically") {
