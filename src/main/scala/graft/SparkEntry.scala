@@ -306,6 +306,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Copy-on-write deletes: a key-range delete (manifest-span pruned)
+    // then a predicate delete (column-pruned detection scan) on an
+    // encoded documents table; the decoded survivors must equal the raw
+    // table minus exactly the deleted rows
+    "q_delete_cow" -> ((s, dir) => {
+      val tdir = tableDirCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, s"DL:$dir"), {
+          val d = "/tmp/graft-tables/DL-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+          GenericTable.encode(
+            s.read.parquet(s"$dir/documents.parquet"), d, keyCol = "doc_id",
+            opts = GraftTable.Options(targetRowsPerBlock = 128))
+          GenericTable.deleteRange(s, d, 100L, 149L)
+          GenericTable.deleteWhere(s, d, col("lang") === "de")
+          d
+        })
+      GenericTable.decode(s, tdir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(length(col("text")).cast("long")).cast("long").as("sum_len"))
+        .orderBy("source")
+    }),
+
     // Arbitrary-depth nesting through the generic lane: each document
     // becomes a depth-3 int array (per word: [[length, 1-based pos]]) plus
     // a list<map> ([map(lang -> n_chars), map()]); encode → decode must
@@ -871,6 +895,16 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_delete_cow" ->
+      """SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(SUM(length(text)) AS BIGINT) AS sum_len
+        |FROM documents
+        |WHERE NOT (doc_id BETWEEN 100 AND 149) AND lang <> 'de'
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE sh AS (

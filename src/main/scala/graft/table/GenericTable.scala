@@ -714,7 +714,28 @@ object GenericTable {
     val merged = readSchemaOf(p)
     val rows = decodeFields(spark, tableDir, p.copy(dataDirs = fragData),
       merged, merged.fieldNames.toIndexedSeq)
+    rewriteCommit(spark, tableDir, p, merged, keepData, keepMan, rows,
+      opName = "compact",
+      opDetail = s"compacted=${frag.toSeq.sorted.mkString(",")}", opts)
+  }
 
+  /** Copy-on-write rewrite commit shared by [[compact]] and the delete
+    * APIs: re-encodes `rows` (projected onto `merged`) as version
+    * `p.version + 1`, keeps `keepData`/`keepMan` by reference, and commits
+    * the combined snapshot. An EMPTY `rows` commits a snapshot of only the
+    * kept versions (a delete can empty every rewritten version).
+    */
+  private def rewriteCommit(
+      spark: SparkSession,
+      tableDir: String,
+      p: Snapshot,
+      merged: StructType,
+      keepData: Seq[String],
+      keepMan: Seq[String],
+      rows: DataFrame,
+      opName: String,
+      opDetail: String,
+      opts: Options): EncodeResult = {
     val stats = p.stats.toMap
     val key = stats(KeyKey)
     val plan = planOf(merged)
@@ -727,49 +748,148 @@ object GenericTable {
     try {
       val nRows = keyed.count()
       val ver = p.version + 1
-      val bounds = GraftTable.computeBounds(
-        keyed, nRows, opts.targetRowsPerBlock, opts.sampleRows)
-      val bcBounds = spark.sparkContext.broadcast(bounds)
-      val withBlocks = keyed.withColumn(
-        "block_id", graft_range_bucket(col("_graft_key"), bcBounds))
-      val dataDir = writeBlocksVersion(
-        withBlocks, tableDir, ver, leaves, bounds.length + 1, nRows)
-      val manifestDir = s"manifests/v$ver"
-      manifestOf(spark, s"$tableDir/$dataDir", leaves.length)
-        .write.mode("overwrite").json(s"$tableDir/$manifestDir")
-
-      val manifestDirs = keepMan :+ manifestDir
-      val dataDirs = keepData :+ dataDir
-      val all = spark.read.json(manifestDirs.map(d => s"$tableDir/$d"): _*)
-      val tot = all.agg(
-        count(lit(1)).as("blocks"), sum("row_count").as("rows"),
-        sum("bytes_total").as("bytes"), sum("plain_bytes").as("plain"),
-        expr("bit_xor(block_sig)").as("sig")).head()
-      val contentSig = f"${tot.getLong(4)}%016x"
-      val combinedFp = Hashing.sha256Hex(s"${p.inputFingerprint};compact=v$ver")
+      val (dataDirs, manifestDirs, newBlocks) =
+        if (nRows == 0) (keepData, keepMan, 0L)
+        else {
+          val bounds = GraftTable.computeBounds(
+            keyed, nRows, opts.targetRowsPerBlock, opts.sampleRows)
+          val bcBounds = spark.sparkContext.broadcast(bounds)
+          val withBlocks = keyed.withColumn(
+            "block_id", graft_range_bucket(col("_graft_key"), bcBounds))
+          val dataDir = writeBlocksVersion(
+            withBlocks, tableDir, ver, leaves, bounds.length + 1, nRows)
+          val manifestDir = s"manifests/v$ver"
+          manifestOf(spark, s"$tableDir/$dataDir", leaves.length)
+            .write.mode("overwrite").json(s"$tableDir/$manifestDir")
+          (keepData :+ dataDir, keepMan :+ manifestDir, bounds.length + 1L)
+        }
+      val tot =
+        if (manifestDirs.isEmpty) (0L, 0L, 0L, 0L, 0L)
+        else {
+          val all = spark.read.json(manifestDirs.map(d => s"$tableDir/$d"): _*)
+          val t = all.agg(
+            count(lit(1)).as("blocks"), sum("row_count").as("rows"),
+            sum("bytes_total").as("bytes"), sum("plain_bytes").as("plain"),
+            expr("bit_xor(block_sig)").as("sig")).head()
+          (t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3), t.getLong(4))
+        }
+      val contentSig = f"${tot._5}%016x"
+      val combinedFp = Hashing.sha256Hex(s"${p.inputFingerprint};$opName=v$ver")
       val statsFields = (Map(
-        "rows" -> tot.getLong(1).toString,
+        "rows" -> tot._2.toString,
         SchemaKey -> merged.json,
         WriteSchemaKey -> merged.json,
         KeyKey -> key,
         "generic_leaves" -> leaves.map(l => s"${l.kind}:${l.name}").mkString("\u001f")) ++
         carriedMeta(Some(p))).toSeq
       val snapshotId = Hashing.sha256Hex(
-        s"v$ver;generic-compact;parent=${p.snapshotId};fp=$combinedFp;" +
-          s"compacted=${frag.toSeq.sorted.mkString(",")};rows=${tot.getLong(1)};" +
-          s"bytes=${tot.getLong(2)};sig=$contentSig")
+        s"v$ver;generic-$opName;parent=${p.snapshotId};fp=$combinedFp;" +
+          s"$opDetail;rows=${tot._2};" +
+          s"bytes=${tot._3};sig=$contentSig")
       val snap = Snapshot(ver, snapshotId, Some(p.snapshotId), combinedFp,
-        s"generic:$key", p.boundsDir, tot.getLong(0).toInt, tot.getLong(0),
-        complete = p.complete, tot.getLong(1), tokenCount = 0L,
-        tot.getLong(2), tot.getLong(3), contentSig, dataDirs, manifestDirs,
+        s"generic:$key", p.boundsDir, tot._1.toInt, tot._1,
+        complete = p.complete, tot._2, tokenCount = 0L,
+        tot._3, tot._4, contentSig, dataDirs, manifestDirs,
         statsFields.sorted, java.time.Instant.now().toString)
       GraftTable.writeString(
         spark, s"$tableDir/metadata/v$ver.json", GraftTable.renderSnapshot(snap))
       GraftTable.commitPointer(spark, tableDir, ver)
-      EncodeResult(ver, snapshotId, tot.getLong(0).toInt, bounds.length + 1L,
-        tot.getLong(0), tot.getLong(1), 0L, tot.getLong(2), tot.getLong(3),
+      EncodeResult(ver, snapshotId, tot._1.toInt, newBlocks,
+        tot._1, tot._2, 0L, tot._3, tot._4,
         contentSig, complete = p.complete)
     } finally keyed.unpersist()
+  }
+
+  /** Copy-on-write row delete by arbitrary predicate: versions holding a
+    * matching row are rewritten WITHOUT the matching rows; untouched
+    * versions stay by reference (their files are never rewritten).
+    *
+    * Two passes: (1) a column-pruned detection scan tags every matching
+    * row with its source version (`input_file_name()` inside the scan
+    * stage resolves `data/v<N>` — one job, epoch-bounded plan); (2) the
+    * affected versions COW-rewrite through the same commit path as
+    * [[compact]]. Rows where the predicate evaluates NULL are KEPT
+    * (delete removes only what matches TRUE — SQL DELETE semantics).
+    *
+    * At 100 TB the detection pass reads only the predicate's columns,
+    * and the rewrite cost is proportional to the AFFECTED versions'
+    * data, not the table. Key-range deletes should prefer
+    * [[deleteRange]], which skips the detection scan entirely via
+    * manifest key spans.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      tableDir: String,
+      predicate: Column,
+      opts: Options = Options()): EncodeResult = {
+    val p = GraftTable.currentSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+    require(isGeneric(p), s"$tableDir is a token table")
+    def noop = EncodeResult(p.version, p.snapshotId, p.numBlocks, 0L,
+      p.blocksEncoded, p.rowCount, p.tokenCount, p.bytesTotal, p.plainBytes,
+      p.contentSig, p.complete)
+    if (p.dataDirs.isEmpty) return noop
+    val merged = readSchemaOf(p)
+    // detection scan: only the columns the predicate references (all, if
+    // the expression is opaque), each matching row tagged by version
+    val refCols = GraftSql.expression(predicate).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
+    }.distinct.filter(n => merged.fieldNames.contains(n))
+    val scanCols =
+      if (refCols.nonEmpty) refCols.toIndexedSeq else merged.fieldNames.toIndexedSeq
+    val tagged = decodeFields(spark, tableDir, p, merged, scanCols)
+      .withColumn("__gver",
+        regexp_extract(input_file_name(), "/data/v(\\d+)/", 1).cast("int"))
+    val affected = tagged.where(predicate)
+      .select("__gver").distinct().collect().map(_.getInt(0)).toSet
+    if (affected.isEmpty) return noop
+    val keepData = p.dataDirs.filterNot(d => affected(versionOf(d)))
+    val keepMan = p.manifestDirs.filterNot(d => affected(versionOf(d)))
+    val hitData = p.dataDirs.filter(d => affected(versionOf(d)))
+    val survivors = decodeFields(spark, tableDir, p.copy(dataDirs = hitData),
+      merged, merged.fieldNames.toIndexedSeq)
+      .where(coalesce(!predicate, lit(true)))
+    rewriteCommit(spark, tableDir, p, merged, keepData, keepMan, survivors,
+      opName = "delete",
+      opDetail = s"deleted-from=${affected.toSeq.sorted.mkString(",")}", opts)
+  }
+
+  /** Copy-on-write delete of every row whose RANGE KEY falls in
+    * [lo, hi] — the targeted-removal fast path (contaminated id spans,
+    * right-to-be-forgotten key blocks). Affected versions come straight
+    * from the manifest key spans — no data scan at all before the
+    * rewrite; null-key rows never match a range.
+    */
+  def deleteRange(
+      spark: SparkSession,
+      tableDir: String,
+      lo: Long,
+      hi: Long,
+      opts: Options = Options()): EncodeResult = {
+    val p = GraftTable.currentSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+    require(isGeneric(p), s"$tableDir is a token table")
+    def noop = EncodeResult(p.version, p.snapshotId, p.numBlocks, 0L,
+      p.blocksEncoded, p.rowCount, p.tokenCount, p.bytesTotal, p.plainBytes,
+      p.contentSig, p.complete)
+    if (p.dataDirs.isEmpty) return noop
+    val merged = readSchemaOf(p)
+    val key = keyNameOf(p)
+    val hitData = rangeDataDirs(spark, tableDir, p, lo, hi)
+    if (hitData.isEmpty) return noop
+    val hit = hitData.map(versionOf).toSet
+    val keepData = p.dataDirs.filterNot(d => hit(versionOf(d)))
+    val keepMan = p.manifestDirs.filterNot(d => hit(versionOf(d)))
+    // the range addresses the key ORDER DOMAIN (keyExprOf), exactly like
+    // decodeRange: for integral keys that IS the value; null keys are
+    // explicitly kept (a range never deletes null keys)
+    val kc = keyExprOf(key, merged(key).dataType)
+    val survivors = decodeFields(spark, tableDir, p.copy(dataDirs = hitData),
+      merged, merged.fieldNames.toIndexedSeq)
+      .where(col(quoted(key)).isNull || !kc.between(lo, hi))
+    rewriteCommit(spark, tableDir, p, merged, keepData, keepMan, survivors,
+      opName = "delete",
+      opDetail = s"deleted-range=[$lo,$hi];from=${hit.toSeq.sorted.mkString(",")}", opts)
   }
 
   /** The shared block-encode pipeline of encode() and append(): one

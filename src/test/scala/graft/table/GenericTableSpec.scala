@@ -633,6 +633,69 @@ class GenericTableSpec extends AnyFunSuite {
     assert(ids42.sameElements(want42), ids42.mkString(","))
   }
 
+  test("copy-on-write deletes: only affected versions rewrite; null keys survive") {
+    val dir = tmpDir("del")
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    val mk = (lo: Int, n: Int) => (lo until lo + n).toDF("k").select(
+      col("k").cast("long").as("id"), concat(lit("s"), col("k")).as("s"))
+    GenericTable.encode(mk(0, 200), dir, keyCol = "id", opts)
+    GenericTable.append(mk(200, 200), dir, opts)
+    GenericTable.append(mk(400, 200), dir, opts)
+    def mtimes(ver: Int): Map[String, Long] =
+      new java.io.File(s"$dir/data/v$ver").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val (m1, m2) = (mtimes(1), mtimes(2))
+
+    // range delete: only v3 holds [450, 470] — v1/v2 stay BY REFERENCE
+    val r = GenericTable.deleteRange(spark, dir, 450L, 470L)
+    assert(r.version == 4)
+    val dec = GenericTable.decode(spark, dir)
+    assert(dec.count() == 579)
+    assert(dec.where(col("id").between(450L, 470L)).count() == 0)
+    assert(dec.agg(sum("id")).head().getLong(0) ==
+      (0L until 600L).sum - (450L to 470L).sum)
+    val snap = GraftTable.currentSnapshot(spark, dir).get
+    assert(snap.dataDirs.contains("data/v1") && snap.dataDirs.contains("data/v2"))
+    assert(!snap.dataDirs.contains("data/v3") && snap.dataDirs.contains("data/v4"))
+    assert(mtimes(1) == m1 && mtimes(2) == m2, "kept versions must not rewrite")
+
+    // predicate delete on a NON-key column: detection finds the versions,
+    // everything else stays by reference (v4 was just written)
+    val m4 = mtimes(4)
+    val r2 = GenericTable.deleteWhere(spark, dir,
+      col("s").isin("s10", "s300"))
+    assert(r2.version == 5)
+    val dec2 = GenericTable.decode(spark, dir)
+    assert(dec2.count() == 577)
+    assert(dec2.where(col("s").isin("s10", "s300")).count() == 0)
+    assert(mtimes(4) == m4, "v4 holds no matching row - must not rewrite")
+    val snap2 = GraftTable.currentSnapshot(spark, dir).get
+    assert(snap2.dataDirs.contains("data/v4"))
+    assert(!snap2.dataDirs.contains("data/v1") && !snap2.dataDirs.contains("data/v2"))
+
+    // no-match delete is a committed no-op (same version, nothing rewritten)
+    val r3 = GenericTable.deleteWhere(spark, dir, col("s") === "nope")
+    assert(r3.version == r2.version)
+
+    // the DSv2 connector serves the post-delete table identically
+    assert(spark.read.format("graft").load(dir).count() == 577)
+
+    // null keys: a range delete containing the null-hash value (42) must
+    // never delete null-key rows
+    val dir2 = tmpDir("delnull")
+    val withNulls = (0 until 100).toDF("k").select(
+      when(pmod(col("k"), lit(4)) === 0, lit(null))
+        .otherwise(col("k").cast("long")).as("id"),
+      concat(lit("v"), col("k")).as("v"))
+    GenericTable.encode(withNulls, dir2, keyCol = "id", opts)
+    GenericTable.deleteRange(spark, dir2, 0L, 100L)
+    val kept = GenericTable.decode(spark, dir2)
+    assert(kept.where(col("id").isNull).count() == 25,
+      "null-key rows must survive any range delete")
+    assert(kept.where(col("id").isNotNull).count() == 0)
+  }
+
   test("generic compact merges only fragmented versions and upgrades schema") {
     import org.apache.hadoop.fs.Path
     val dir = tmpDir("gcompact")
