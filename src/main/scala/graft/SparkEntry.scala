@@ -330,6 +330,34 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Merge-by-key (upsert): rows 50..59 re-ingested with a replaced
+    // lang, ten brand-new docs appended — the decoded table must equal
+    // the raw table with exactly those rows replaced/added
+    "q_upsert" -> ((s, dir) => {
+      val tdir = tableDirCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, s"UP:$dir"), {
+          val d = "/tmp/graft-tables/UP-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+          GenericTable.encode(docs, d, keyCol = "doc_id",
+            opts = GraftTable.Options(targetRowsPerBlock = 128))
+          val batch = docs.where(col("doc_id").between(50L, 59L))
+            .withColumn("lang", lit("xx"))
+            .unionByName(docs.where(col("doc_id") < 10L)
+              .withColumn("doc_id", col("doc_id") + 100000L)
+              .withColumn("lang", lit("zz")))
+          GenericTable.upsertByKey(batch, d,
+            GraftTable.Options(targetRowsPerBlock = 128))
+          d
+        })
+      GenericTable.decode(s, tdir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy("lang")
+    }),
+
     // Arbitrary-depth nesting through the generic lane: each document
     // becomes a depth-3 int array (per word: [[length, 1-based pos]]) plus
     // a list<map> ([map(lang -> n_chars), map()]); encode → decode must
@@ -895,6 +923,23 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_upsert" ->
+      """WITH up AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id BETWEEN 50 AND 59 THEN 'xx' ELSE lang END AS lang,
+        |         n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'zz', n_chars FROM documents WHERE doc_id < 10
+        |)
+        |SELECT lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM up
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "q_delete_cow" ->
       """SELECT source,

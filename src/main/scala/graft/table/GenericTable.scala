@@ -854,6 +854,75 @@ object GenericTable {
       opDetail = s"deleted-from=${affected.toSeq.sorted.mkString(",")}", opts)
   }
 
+  /** Copy-on-write delete of every row whose KEY appears in `keys` (one
+    * column, any name — cast to the table key's type; nulls ignored): the
+    * contamination-removal primitive ("remove these doc ids"). Version
+    * pruning is conservative via the manifest key spans of the keys'
+    * ORDER-DOMAIN envelope; row matching is an EXACT raw-key anti join
+    * (never the 64-bit order hash, so non-integral keys cannot
+    * collide-delete).
+    */
+  def deleteKeys(
+      spark: SparkSession,
+      tableDir: String,
+      keys: DataFrame,
+      opts: Options = Options()): EncodeResult = {
+    val p = GraftTable.currentSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+    require(isGeneric(p), s"$tableDir is a token table")
+    require(keys.columns.length == 1,
+      s"deleteKeys takes a single-column frame, got ${keys.columns.mkString(",")}")
+    def noop = EncodeResult(p.version, p.snapshotId, p.numBlocks, 0L,
+      p.blocksEncoded, p.rowCount, p.tokenCount, p.bytesTotal, p.plainBytes,
+      p.contentSig, p.complete)
+    if (p.dataDirs.isEmpty) return noop
+    val merged = readSchemaOf(p)
+    val key = keyNameOf(p)
+    val kt = merged(key).dataType
+    val kRaw = keys.select(col(keys.columns.head).cast(kt).as("__dk"))
+      .where(col("__dk").isNotNull).distinct().cache()
+    try {
+      if (kRaw.isEmpty) return noop
+      // conservative version prune: the keys' order-domain envelope
+      val env = kRaw.select(keyExprOf("__dk", kt).as("_k"))
+        .agg(min(col("_k")), max(col("_k"))).head()
+      val hitData = rangeDataDirs(spark, tableDir, p, env.getLong(0), env.getLong(1))
+      if (hitData.isEmpty) return noop
+      val hit = hitData.map(versionOf).toSet
+      val keepData = p.dataDirs.filterNot(d => hit(versionOf(d)))
+      val keepMan = p.manifestDirs.filterNot(d => hit(versionOf(d)))
+      val survivors = decodeFields(spark, tableDir, p.copy(dataDirs = hitData),
+        merged, merged.fieldNames.toIndexedSeq)
+        .join(kRaw, col(quoted(key)) === col("__dk"), "left_anti")
+      rewriteCommit(spark, tableDir, p, merged, keepData, keepMan, survivors,
+        opName = "delete",
+        opDetail = s"deleted-keys;from=${hit.toSeq.sorted.mkString(",")}", opts)
+    } finally kRaw.unpersist()
+  }
+
+  /** Merge-by-key (upsert): rows of `batch` REPLACE any existing rows
+    * carrying the same key; everything else appends (with the same
+    * union-by-name schema evolution as [[append]]). Composed as
+    * [[deleteKeys]] (COW-rewrite of span-hit versions) followed by
+    * [[append]] — two commits, so a failure between them leaves a valid
+    * table WITHOUT the batch (retry the upsert; the delete re-applies as
+    * a cheap no-op when the keys are already gone).
+    */
+  def upsertByKey(
+      batch: DataFrame,
+      tableDir: String,
+      opts: Options = Options()): EncodeResult = {
+    val spark = batch.sparkSession
+    val p = GraftTable.currentSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+    require(isGeneric(p), s"$tableDir is a token table")
+    val key = keyNameOf(p)
+    require(batch.columns.contains(key),
+      s"upsert batch must carry the table key column $key")
+    deleteKeys(spark, tableDir, batch.select(col(quoted(key))), opts)
+    append(batch, tableDir, opts)
+  }
+
   /** Copy-on-write delete of every row whose RANGE KEY falls in
     * [lo, hi] — the targeted-removal fast path (contaminated id spans,
     * right-to-be-forgotten key blocks). Affected versions come straight

@@ -696,6 +696,44 @@ class GenericTableSpec extends AnyFunSuite {
     assert(kept.where(col("id").isNotNull).count() == 0)
   }
 
+  test("deleteKeys + upsertByKey: exact key replacement, span-pruned rewrite") {
+    val dir = tmpDir("upsert")
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    val mk = (lo: Int, n: Int) => (lo until lo + n).toDF("k").select(
+      col("k").cast("long").as("id"), concat(lit("a"), col("k")).as("s"))
+    GenericTable.encode(mk(0, 200), dir, keyCol = "id", opts)
+    GenericTable.append(mk(200, 200), dir, opts)
+    def mtimes(ver: Int): Map[String, Long] =
+      new java.io.File(s"$dir/data/v$ver").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val m1 = mtimes(1)
+
+    // upsert: replace ids 250..259 with new values, add ids 1000..1004
+    val batch = ((250 until 260).map(i => (i.toLong, s"NEW$i")) ++
+      (1000 until 1005).map(i => (i.toLong, s"b$i"))).toDF("id", "s")
+    GenericTable.upsertByKey(batch, dir, opts)
+    val dec = GenericTable.decode(spark, dir)
+    assert(dec.count() == 405)
+    assert(dec.where(col("id").between(250, 259))
+      .select("s").collect().forall(_.getString(0).startsWith("NEW")))
+    assert(dec.where(col("id") >= 1000).count() == 5)
+    assert(dec.where(col("id") === 100).select("s").head().getString(0) == "a100")
+    // v1 (ids 0..199) is outside the batch's key envelope — never rewritten
+    assert(mtimes(1) == m1, "span-pruned upsert must keep v1 by reference")
+
+    // deleteKeys: exact ids gone, everything else intact, noop on misses
+    val before = GraftTable.currentSnapshot(spark, dir).get.version
+    GenericTable.deleteKeys(spark, dir, Seq(5L, 1003L).toDF("bad_id"), opts)
+    val dec2 = GenericTable.decode(spark, dir)
+    assert(dec2.count() == 403)
+    assert(dec2.where(col("id").isin(5L, 1003L)).count() == 0)
+    val miss = GenericTable.deleteKeys(spark, dir, Seq(99999L).toDF("x"), opts)
+    // the span prune may admit a version, but content is unchanged either way
+    assert(GenericTable.decode(spark, dir).count() == 403)
+    assert(miss.rowCount == 403)
+  }
+
   test("generic compact merges only fragmented versions and upgrades schema") {
     import org.apache.hadoop.fs.Path
     val dir = tmpDir("gcompact")
