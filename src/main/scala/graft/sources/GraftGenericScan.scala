@@ -256,229 +256,23 @@ class GraftGenericPartitionReader(
   }
 
   // decoded leaf arrays of the CURRENT block, in a dense slot array:
-  // builders resolve their slot ONCE at construction and read
-  // `leafArr(slot)(i)` per row — no per-row hash probes in the hot loop
+  // builders resolve their slot ONCE at construction; per row the needed
+  // leg values land in one flat array that every field builder indexes —
+  // no hash probes in the hot loop. The rebuild logic itself is the
+  // shared graft.expr.NestedLegs (same implementation the Scala-API
+  // decode uses for non-scalar-element arrays).
   private val leafSlot: Map[String, Int] = neededLeaves.zipWithIndex.toMap
   private val leafArr: Array[Array[Any]] = new Array(neededLeaves.length)
-
-  /** Per-row value builder for one requested field — mirrors
-    * GenericTable.restore at the InternalRow level. Fully recursive over
-    * the same leg naming scheme as [[GenericTable.fieldLeaves]], so
-    * arrays nest to any depth (list<list<list<T>>>, list<struct> whose
-    * fields are arrays/structs/maps, list<map<K,V>>, ...).
-    */
-  private def builder(path: String, dt: DataType, nullable: Boolean): Int => Any =
-    dt match {
-      case IntegerType | LongType | StringType | DoubleType | FloatType |
-           BinaryType =>
-        val s = leafSlot(path); i => leafArr(s)(i)
-      case ByteType =>
-        val s = leafSlot(path)
-        i => { val v = leafArr(s)(i)
-          if (v == null) null else java.lang.Byte.valueOf(v.asInstanceOf[Int].toByte) }
-      case ShortType =>
-        val s = leafSlot(path)
-        i => { val v = leafArr(s)(i)
-          if (v == null) null else java.lang.Short.valueOf(v.asInstanceOf[Int].toShort) }
-      case BooleanType =>
-        val s = leafSlot(path)
-        i => { val v = leafArr(s)(i)
-          if (v == null) null else java.lang.Boolean.valueOf(v.asInstanceOf[Int] != 0) }
-      case DateType => // stored unix_date int == internal days
-        val s = leafSlot(path); i => leafArr(s)(i)
-      case TimestampType | TimestampNTZType => // stored micros == internal micros
-        val s = leafSlot(path); i => leafArr(s)(i)
-      case d: DecimalType if d.precision <= 18 =>
-        val s = leafSlot(path)
-        i => { val v = leafArr(s)(i)
-          if (v == null) null
-          else Decimal.createUnsafe(v.asInstanceOf[Long], d.precision, d.scale) }
-      case d: DecimalType => // wide: string leaf
-        val s = leafSlot(path)
-        i => { val v = leafArr(s)(i)
-          if (v == null) null
-          else Decimal(BigDecimal(v.toString), d.precision, d.scale) }
-      case at: ArrayType => arrayBuilder(path, at)
-      case st: StructType =>
-        val children = st.fields.map(f =>
-          builder(s"$path.${f.name}", f.dataType, nullable = true))
-        val presSlot = if (nullable) leafSlot(s"$path.__p") else -1
-        i => {
-          val here = presSlot < 0 || {
-            val p = leafArr(presSlot)(i)
-            p != null && p.asInstanceOf[Int] == 1
-          }
-          if (!here) null
-          else {
-            val vals = new Array[Any](children.length)
-            var c = 0
-            while (c < children.length) { vals(c) = children(c)(i); c += 1 }
-            new GenericInternalRow(vals)
-          }
-        }
-      case MapType(kt, vt, vcn) =>
-        val keys = builder(s"$path.__mk", ArrayType(kt, containsNull = false), nullable)
-        val values = builder(s"$path.__mv", ArrayType(vt, containsNull = vcn), nullable)
-        i => {
-          val k = keys(i)
-          if (k == null) null
-          else new ArrayBasedMapData(k.asInstanceOf[ArrayData],
-            values(i).asInstanceOf[ArrayData])
-        }
-      case other => throw new UnsupportedOperationException(other.catalogString)
-    }
-
-  /** Builder for one array-shaped leg: returns per-row ArrayData (or null)
-    * whose elements are already in Catalyst internal form for the declared
-    * element type. Recurses exactly like the encode-side shredding.
-    */
-  private def arrayBuilder(path: String, at: ArrayType): Int => Any = at.elementType match {
-    case ByteType | ShortType | BooleanType =>
-      // stored as int arrays; elements convert back
-      val elem = at.elementType
-      val s = leafSlot(path)
-      i => { val v = leafArr(s)(i)
-        if (v == null) null
-        else {
-          val a = v.asInstanceOf[ArrayData]
-          val out = new Array[Any](a.numElements())
-          var j = 0
-          while (j < out.length) {
-            if (!a.isNullAt(j)) out(j) = elem match {
-              case ByteType => java.lang.Byte.valueOf(a.getInt(j).toByte)
-              case ShortType => java.lang.Short.valueOf(a.getInt(j).toShort)
-              case _ => java.lang.Boolean.valueOf(a.getInt(j) != 0)
-            }
-            j += 1
-          }
-          new GenericArrayData(out)
-        }
-      }
-    case d: DecimalType =>
-      // stored as unscaled-long (<=18) / exact-string (wide) legs
-      val s = leafSlot(path)
-      i => { val v = leafArr(s)(i)
-        if (v == null) null
-        else {
-          val a = v.asInstanceOf[ArrayData]
-          val out = new Array[Any](a.numElements())
-          var j = 0
-          while (j < out.length) {
-            if (!a.isNullAt(j)) out(j) =
-              if (d.precision <= 18) Decimal.createUnsafe(a.getLong(j), d.precision, d.scale)
-              else Decimal(BigDecimal(a.getUTF8String(j).toString), d.precision, d.scale)
-            j += 1
-          }
-          new GenericArrayData(out)
-        }
-      }
-    case inner: ArrayType =>
-      // (inner lengths, recursively-rebuilt flat elements) legs — see
-      // GenericTable's nested-repetition shredding; a null length
-      // restores a null inner array, and the flat leg is itself a full
-      // array builder over the (possibly nested) inner element type
-      val lensSlot = leafSlot(s"$path.__ll")
-      val flatB = arrayBuilder(s"$path.__lv",
-        ArrayType(inner.elementType, containsNull = true))
-      val elemT = inner.elementType
-      i => {
-        val lv = leafArr(lensSlot)(i)
-        if (lv == null) null
-        else {
-          val lens = lv.asInstanceOf[ArrayData]
-          val flat = flatB(i).asInstanceOf[ArrayData]
-          val out = new Array[Any](lens.numElements())
-          var off = 0
-          var j = 0
-          while (j < out.length) {
-            if (!lens.isNullAt(j)) {
-              val n = lens.getInt(j)
-              val elems = new Array[Any](n)
-              var k = 0
-              while (k < n) {
-                if (!flat.isNullAt(off + k)) elems(k) = flat.get(off + k, elemT)
-                k += 1
-              }
-              out(j) = new GenericArrayData(elems)
-              off += n
-            }
-            j += 1
-          }
-          new GenericArrayData(out)
-        }
-      }
-    case st: StructType =>
-      // parallel per-field legs share element positions (see
-      // GenericTable's list<struct> shredding); each leg is recursively
-      // rebuilt, so fields may be arrays/structs/maps themselves
-      val cn = at.containsNull
-      val legB = st.fields.map(f =>
-        arrayBuilder(s"$path.__af.${f.name}", ArrayType(f.dataType, containsNull = true)))
-      val ftypes = st.fields.map(_.dataType)
-      val presSlot = if (cn) leafSlot(s"$path.__ap") else -1
-      i => {
-        val legs = new Array[ArrayData](legB.length)
-        var c = 0
-        while (c < legs.length) { legs(c) = legB(c)(i).asInstanceOf[ArrayData]; c += 1 }
-        if (legs(0) == null) null
-        else {
-          val pres =
-            if (presSlot >= 0) leafArr(presSlot)(i).asInstanceOf[ArrayData] else null
-          val n = legs(0).numElements()
-          val out = new Array[Any](n)
-          var j = 0
-          while (j < n) {
-            if (pres == null || pres.getInt(j) == 1) {
-              val vals = new Array[Any](legs.length)
-              c = 0
-              while (c < legs.length) {
-                if (!legs(c).isNullAt(j)) vals(c) = legs(c).get(j, ftypes(c))
-                c += 1
-              }
-              out(j) = new GenericInternalRow(vals)
-            }
-            j += 1
-          }
-          new GenericArrayData(out)
-        }
-      }
-    case mt: MapType =>
-      // per-element keys/values ride two array-of-array legs; zip them
-      // back (a null keys-element ⇔ a null map element)
-      val keysB = arrayBuilder(s"$path.__amk",
-        ArrayType(ArrayType(mt.keyType, containsNull = false), containsNull = true))
-      val valsB = arrayBuilder(s"$path.__amv",
-        ArrayType(ArrayType(mt.valueType, mt.valueContainsNull), containsNull = true))
-      i => {
-        val k = keysB(i)
-        if (k == null) null
-        else {
-          val ka = k.asInstanceOf[ArrayData]
-          val va = valsB(i).asInstanceOf[ArrayData]
-          val out = new Array[Any](ka.numElements())
-          var j = 0
-          while (j < out.length) {
-            if (!ka.isNullAt(j))
-              out(j) = new ArrayBasedMapData(ka.getArray(j), va.getArray(j))
-            j += 1
-          }
-          new GenericArrayData(out)
-        }
-      }
-    // int/long/string/float/double/date/timestamp arrays: stored forms
-    // ARE the internal forms — the leaf ArrayData passes through
-    case _ =>
-      val s = leafSlot(path); i => leafArr(s)(i)
-  }
 
   /** One builder per REQUIRED field; fields this version predates emit
     * null (schema evolution).
     */
-  private val fieldBuilders: Array[Int => Any] =
+  private val fieldBuilders: Array[Array[Any] => Any] =
     required.fields.map { f =>
       byName.get(f.name) match {
-        case Some(wf) => builder(wf.name, wf.dataType, wf.nullable)
-        case None => (_: Int) => null
+        case Some(wf) => graft.expr.NestedLegs.builder(
+          wf.name, wf.dataType, wf.nullable, leafSlot)
+        case None => (_: Array[Any]) => null
       }
     }
 
@@ -529,9 +323,12 @@ class GraftGenericPartitionReader(
       nRows = g.getLong("row_count", 0).toInt
       i = 0
     }
+    val legVals = new Array[Any](leafArr.length)
+    var s = 0
+    while (s < legVals.length) { legVals(s) = leafArr(s)(i); s += 1 }
     val vals = new Array[Any](fieldBuilders.length)
     var c = 0
-    while (c < fieldBuilders.length) { vals(c) = fieldBuilders(c)(i); c += 1 }
+    while (c < fieldBuilders.length) { vals(c) = fieldBuilders(c)(legVals); c += 1 }
     current = new GenericInternalRow(vals)
     i += 1
     produced += 1

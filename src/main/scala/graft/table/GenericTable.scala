@@ -261,17 +261,6 @@ object GenericTable {
     case _ => false
   }
 
-  /** `dt` with every nullability flag relaxed to true — the type the
-    * leg-based restore actually produces (every leg is nullable storage).
-    */
-  private def relaxed(dt: DataType): DataType = dt match {
-    case ArrayType(et, _) => ArrayType(relaxed(et), containsNull = true)
-    case StructType(fs) =>
-      StructType(fs.map(f => f.copy(dataType = relaxed(f.dataType), nullable = true)))
-    case MapType(kt, vt, _) => MapType(relaxed(kt), relaxed(vt), valueContainsNull = true)
-    case other => other
-  }
-
   /** Rebuild the original column from decoded storage leaves. */
   private def restore(
       path: String, dt: DataType, nullable: Boolean, get: String => Column): Column =
@@ -296,53 +285,18 @@ object GenericTable {
         transform(get(path), _.cast(et)) // see the encode-side transform note
       case ArrayType(et @ (DateType | TimestampType | TimestampNTZType | _: DecimalType), _) =>
         transform(get(path), arrayElemRestore(et))
-      case ArrayType(inner: ArrayType, _) =>
-        // rebuild from (inner lengths, recursively-restored flat values)
-        // with ONE left fold: each step slices the next `len` values off
-        // the flat stream (a null length restores a null inner array). No
-        // per-element prefix sums — the running offset rides the fold
-        // accumulator. Works at ANY depth: `flat` is itself a full
-        // restore of the flat leg's (possibly nested) element type.
-        val lens = get(s"$path.__ll")
-        val flat = restore(s"$path.__lv",
-          ArrayType(inner.elementType, containsNull = true), nullable = true, get)
-        val acc0 = struct(
-          array().cast(ArrayType(relaxed(inner), containsNull = true)).as("res"),
-          lit(1).as("off"))
-        aggregate(lens, acc0,
-          (acc, len) => struct(
-            array_append(acc.getField("res"),
-              when(len.isNull, lit(null)).otherwise(
-                slice(flat, acc.getField("off"), coalesce(len, lit(0))))).as("res"),
-            (acc.getField("off") + coalesce(len, lit(0))).as("off")),
-          acc => acc.getField("res"))
-      case ArrayType(st: StructType, cn) =>
-        // rebuild each element's struct by position from the parallel
-        // (recursively restored) legs. transform's indexed lambda: empty
-        // arrays map to empty, null arrays to null — no sequence()
-        // pitfalls on zero-length.
-        val legs = st.fields.toIndexedSeq.map(f =>
-          f.name -> restore(s"$path.__af.${f.name}",
-            ArrayType(f.dataType, containsNull = true), nullable = true, get))
-        val base = if (cn) get(s"$path.__ap") else legs.head._2
-        transform(base, (x, i) => {
-          val row = struct(legs.map { case (n, leg) =>
-            element_at(leg, i + 1).as(n)
-          }: _*)
-          if (cn) when(x === 0, lit(null)).otherwise(row) else row
-        })
-      case ArrayType(mt: MapType, _) =>
-        // zip the per-element key/value arrays back into maps (a null
-        // keys-element ⇔ a null map element; `when` without `otherwise`
-        // supplies the typed null)
-        val keys = restore(s"$path.__amk",
-          ArrayType(ArrayType(mt.keyType, containsNull = false),
-            containsNull = true), nullable = true, get)
-        val values = restore(s"$path.__amv",
-          ArrayType(ArrayType(mt.valueType, containsNull = mt.valueContainsNull),
-            containsNull = true), nullable = true, get)
-        transform(keys, (k, i) =>
-          when(k.isNotNull, map_from_arrays(k, element_at(values, i + 1))))
+      case at @ ArrayType(_: ArrayType | _: StructType | _: MapType, _) =>
+        // non-scalar-element arrays rebuild IMPERATIVELY in one custom
+        // expression over all their storage legs: an expression-tree
+        // rebuild (fold + slice / indexed transform + element_at) is
+        // super-linear per row because Spark evaluates HOF lambdas
+        // without CSE — the inner rebuild re-runs once per outer element
+        // (measured 95x at depth 3, tools/DeepNestProbe). GraftNestedRebuild
+        // reads each leg exactly once per row; the DSv2 reader shares the
+        // same NestedLegs builder.
+        val names = graft.expr.NestedLegs.leafNames(path, at, nullable = true)
+        GraftSql.column(graft.expr.GraftNestedRebuild(
+          names.map(n => GraftSql.expression(get(n))), at.json))
       case _: ArrayType => get(path).cast(dt) // realign containsNull flags
       case st: StructType =>
         val body = struct(st.fields.toIndexedSeq.map(f =>
