@@ -678,6 +678,13 @@ class GenericTableSpec extends AnyFunSuite {
     val r3 = GenericTable.deleteWhere(spark, dir, col("s") === "nope")
     assert(r3.version == r2.version)
 
+    // COW'd-away versions are GC-able: expireSnapshots removes their data
+    // dirs (the audit-trail metadata JSONs stay), and the table still reads
+    val gone = GraftTable.expireSnapshots(spark, dir)
+    assert(gone.contains("data/v3"), gone.mkString(","))
+    assert(!new java.io.File(s"$dir/data/v3").exists)
+    assert(GenericTable.decode(spark, dir).count() == 577)
+
     // the DSv2 connector serves the post-delete table identically
     assert(spark.read.format("graft").load(dir).count() == 577)
 
