@@ -31,6 +31,7 @@ object Pipeline {
       tableDir: String,
       minWords: Int = 10,
       nearDupThreshold: Double = 0.9,
+      transitiveNearDup: Boolean = false,
       opts: GraftTable.Options = GraftTable.Options()): Report = {
     val spark = docs.sparkSession
     val input = docs.count()
@@ -54,8 +55,19 @@ object Pipeline {
     // a 10^12-row corpus is billions of ids — a forced broadcast OOMs the
     // driver (VERDICT r2). Left to the planner, AQE broadcasts when the
     // list actually fits and falls back to a shuffled anti join when not.
-    val kill = Dedup.minHashLsh(kept2, threshold = nearDupThreshold)
-      .select(col("doc_b").as("doc_id")).distinct()
+    // Two policies: pairwise (default) drops the larger id of each
+    // verified pair — keeps every doc not directly paired with a smaller
+    // one, so two docs that are both near-dups of a THIRD but not of each
+    // other BOTH survive. transitiveNearDup=true closes the pairs into
+    // connected components (Dedup.clusters) and keeps exactly ONE
+    // canonical doc per component — the aggressive-cleaning policy.
+    val pairs = Dedup.minHashLsh(kept2, threshold = nearDupThreshold)
+    val kill =
+      if (transitiveNearDup)
+        Dedup.clusters(pairs,
+          kept2.select(col("doc_id").cast("string").as("doc_id")))
+          .where(!col("is_canonical")).select(col("doc_id"))
+      else pairs.select(col("doc_b").as("doc_id")).distinct()
     val kept3 = kept2.join(kill,
       kept2("doc_id").cast("string") === kill("doc_id"), "left_anti")
     val afterNear = kept3.count()

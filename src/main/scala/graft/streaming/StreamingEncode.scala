@@ -89,6 +89,56 @@ object StreamingEncode {
     }
   }
 
+  /** CDC-style upsert ingest: each micro-batch's rows REPLACE same-key
+    * rows and new keys append ([[GenericTable.deleteKeys]] + append),
+    * batchId-idempotent. The upsert is two commits; a replay after a
+    * crash between them re-applies the key delete (a content no-op when
+    * the keys are already gone) and then appends — BatchKey advances only
+    * with the final append commit, so the applied-batch contract stays
+    * exactly-once. Within one batch, later rows of a key win is NOT
+    * guaranteed — feed pre-deduplicated batches (e.g. last_value by key).
+    */
+  def applyBatchUpsert(
+      batch: DataFrame,
+      batchId: Long,
+      tableDir: String,
+      keyCol: String,
+      opts: GraftTable.Options = GraftTable.Options()): Boolean = {
+    val spark = batch.sparkSession
+    val cur = GraftTable.currentSnapshot(spark, tableDir)
+    val applied = cur.flatMap(_.stats.toMap.get(BatchKey)).map(_.toLong)
+    if (applied.exists(batchId <= _)) false
+    else if (batch.isEmpty) false
+    else {
+      val meta = Map(BatchKey -> batchId.toString)
+      if (cur.isEmpty)
+        GenericTable.encode(batch, tableDir, keyCol, opts, extraMeta = meta)
+      else {
+        val key = GenericTable.keyNameOf(cur.get)
+        GenericTable.deleteKeys(spark, tableDir, batch.select(batch(key)), opts)
+        GenericTable.append(batch, tableDir, opts, extraMeta = meta)
+      }
+      true
+    }
+  }
+
+  /** Streaming upsert-by-key into a generic table (CDC apply). */
+  def startUpsert(
+      stream: DataFrame,
+      tableDir: String,
+      checkpointDir: String,
+      keyCol: String,
+      opts: GraftTable.Options = GraftTable.Options(),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchUpsert(batch, batchId, tableDir, keyCol, opts); ()
+      }
+      .start()
+
   /** Micro-batch ingest of ANY supported schema into a generic table. */
   def startGeneric(
       stream: DataFrame,

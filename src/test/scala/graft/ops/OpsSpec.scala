@@ -353,6 +353,34 @@ class OpsSpec extends AnyFunSuite {
     assert(dec.count() == rep.afterNearDedup)
   }
 
+  test("pipeline transitive near-dup policy keeps ONE canonical per component") {
+    // A and B are near-dups of C but not of each other (C bridges them):
+    // pairwise policy keeps the component's sources; transitive keeps
+    // exactly one doc per connected component.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val a = base + " one two three"
+    val c = base + " one two four" // near-dup of both a and b
+    val b = base + " one five four"
+    val crafted = Seq(("1", a), ("2", c), ("3", b)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("srcX").as("source"), length(col("text")).cast("long").as("n_chars"))
+    val dirP = java.nio.file.Files.createTempDirectory("graft-pipe-pair").toString
+    val pairwise = Pipeline.cleanAndEncode(crafted, dirP, minWords = 5,
+      nearDupThreshold = 0.7,
+      opts = graft.table.GraftTable.Options(targetRowsPerBlock = 64))
+    val dirT = java.nio.file.Files.createTempDirectory("graft-pipe-trans").toString
+    val transitive = Pipeline.cleanAndEncode(crafted, dirT, minWords = 5,
+      nearDupThreshold = 0.7, transitiveNearDup = true,
+      opts = graft.table.GraftTable.Options(targetRowsPerBlock = 64))
+    assert(transitive.afterNearDedup == 1,
+      s"one canonical expected, got ${transitive.afterNearDedup}")
+    assert(pairwise.afterNearDedup >= transitive.afterNearDedup)
+    val kept = graft.table.GraftTable.decode(spark, dirT)
+      .toDF().select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(kept == Seq("1"), s"canonical must be the smallest id, got $kept")
+  }
+
   test("pipeline near-dup removal completes on a SHUFFLE anti join (no broadcast)") {
     // a 10^12-row corpus can have billions of near-dup ids: the kill list
     // must not carry a forced broadcast hint (VERDICT r2). Disabling

@@ -335,6 +335,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.table.GenericTable.decode(spark, dir).count() == 150)
   }
 
+  test("streaming upsert ingest (CDC apply): replace-by-key, exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-ustream").toString
+    val ckpt = Files.createTempDirectory("graft-uckpt").toString
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((0L until 100L).map(i => (i, s"v1-$i")))
+    val q = StreamingEncode.startUpsert(
+      mem.toDF().toDF("id", "v"), dir, ckpt, "id", opts,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      q.processAllAvailable()
+      // batch 2: updates for 10..19 plus brand-new keys 200..204
+      mem.addData((10L until 20L).map(i => (i, s"v2-$i")) ++
+        (200L until 205L).map(i => (i, s"new-$i")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dec = graft.table.GenericTable.decode(spark, dir)
+    assert(dec.count() == 105)
+    assert(dec.where(col("id").between(10, 19))
+      .select("v").collect().forall(_.getString(0).startsWith("v2-")))
+    assert(dec.where(col("id") === 5L).select("v").head().getString(0) == "v1-5")
+    assert(dec.where(col("id") >= 200L).count() == 5)
+
+    // replayed batch id is skipped (idempotent), stale content ignored
+    val replay = (10L until 20L).map(i => (i, s"v1-$i")).toDF("id", "v")
+    assert(!StreamingEncode.applyBatchUpsert(replay, 1L, dir, "id", opts))
+    assert(graft.table.GenericTable.decode(spark, dir)
+      .where(col("id") === 15L).select("v").head().getString(0) == "v2-15")
+  }
+
   test("streaming ingest: micro-batches append and round-trip") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-stream").toString
