@@ -703,6 +703,31 @@ class GenericTableSpec extends AnyFunSuite {
     assert(kept.where(col("id").isNotNull).count() == 0)
   }
 
+  test("deleteWhere on an evolved table: NULL predicate keeps pre-evolution rows") {
+    val dir = tmpDir("delevo")
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    val v1 = (0 until 100).toDF("k").select(
+      col("k").cast("long").as("id"), concat(lit("a"), col("k")).as("a"))
+    GenericTable.encode(v1, dir, keyCol = "id", opts)
+    val v2 = (100 until 200).toDF("k").select(
+      col("k").cast("long").as("id"), concat(lit("a"), col("k")).as("a"),
+      (col("k") % 10).cast("long").as("b"))
+    GenericTable.append(v2, dir, opts)
+    def m1 = new java.io.File(s"$dir/data/v1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = m1
+    // predicate on the EVOLVED column: v1 rows read null for b, and NULL
+    // never matches TRUE — v1 must not be touched, let alone rewritten
+    GenericTable.deleteWhere(spark, dir, col("b") === 3L)
+    val dec = GenericTable.decode(spark, dir)
+    assert(dec.count() == 190) // 10 of v2's 100 rows had b = 3
+    assert(dec.where(col("b") === 3L).count() == 0)
+    assert(dec.where(col("id") < 100).count() == 100, "v1 rows must survive")
+    assert(m1 == before, "v1 predates `b` - it must stay by reference")
+    assert(dec.schema.fieldNames.toSeq == Seq("id", "a", "b"))
+  }
+
   test("deleteKeys + upsertByKey: exact key replacement, span-pruned rewrite") {
     val dir = tmpDir("upsert")
     val opts = GraftTable.Options(targetRowsPerBlock = 64)
