@@ -20,7 +20,10 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.functions.{array_position, col}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, DataSourceRegister,
+  EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull,
+  IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith,
+  StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -120,6 +123,36 @@ object GraftDataSource {
     StructField("n_tok", IntegerType, nullable = false),
     StructField("source", StringType, nullable = true)))
 
+  /** V1 Filter → Column translation for SQL `DELETE FROM ... WHERE ...`
+    * (conjunctive; None = untranslatable, the delete is rejected at
+    * analysis via canDeleteWhere — never a silent partial delete).
+    */
+  private[sources] def filterColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case And(l, r) =>
+        for { a <- filterColumn(l); b <- filterColumn(r) } yield a && b
+      case Or(l, r) =>
+        for { a <- filterColumn(l); b <- filterColumn(r) } yield a || b
+      case Not(c) => filterColumn(c).map(!_)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
   /** A batch rides the specialized token lane when it IS the token shape.
     * containsNull on `tokens` is ignored for routing: Spark's write
     * planning relaxes nullability flags on the way to the V1 insert, and
@@ -180,7 +213,8 @@ object GraftDataSource {
 
 class GraftSparkTable(tableDir: String, provided: StructType) extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private lazy val snapOpt = GraftTable.currentSnapshot(SparkSession.active, tableDir)
 
@@ -212,6 +246,25 @@ class GraftSparkTable(tableDir: String, provided: StructType) extends Table
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(tableDir, info.options().asScala.toMap)
+
+  // SQL `DELETE FROM t WHERE ...` routes into the generic lane's
+  // copy-on-write deleteWhere (version-pruned rewrite). Only accepted
+  // when EVERY filter translates — a partial translation would delete a
+  // superset/subset of what the user asked. Token-lane tables reject at
+  // analysis (re-encode or serve the token schema through a generic
+  // table when deletes are needed).
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    snapOpt.exists(GenericTable.isGeneric) &&
+      filters.forall(f => GraftDataSource.filterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(snapOpt.exists(GenericTable.isGeneric),
+      s"DELETE FROM is supported on generic graft tables only ($tableDir is token-lane)")
+    val pred = filters.toSeq.flatMap(GraftDataSource.filterColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    GenericTable.deleteWhere(SparkSession.active, tableDir, pred)
+  }
 }
 
 /** V1Write bridge: both lanes' encode is a whole-DataFrame operation

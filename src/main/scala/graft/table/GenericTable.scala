@@ -794,8 +794,11 @@ object GenericTable {
     val tagged = decodeFields(spark, tableDir, p, merged, scanCols)
       .withColumn("__gver",
         regexp_extract(input_file_name(), "/data/v(\\d+)/", 1).cast("int"))
-    val affected = tagged.where(predicate)
-      .select("__gver").distinct().collect().map(_.getInt(0)).toSet
+    val hitRows = tagged.where(predicate).select("__gver").distinct().collect()
+    require(hitRows.forall(!_.isNullAt(0)),
+      "internal: version attribution failed — a data file path did not " +
+        "match data/v<N> (input_file_name detection)")
+    val affected = hitRows.map(_.getInt(0)).toSet
     if (affected.isEmpty) return noop
     val keepData = p.dataDirs.filterNot(d => affected(versionOf(d)))
     val keepMan = p.manifestDirs.filterNot(d => affected(versionOf(d)))

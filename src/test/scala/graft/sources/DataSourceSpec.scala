@@ -270,6 +270,32 @@ class DataSourceSpec extends AnyFunSuite {
     } finally GraftScan.MaxPrunedBlockIds = saved
   }
 
+  test("SQL DELETE FROM routes through the copy-on-write delete") {
+    val dir = Files.createTempDirectory("graft-sqldel").toString
+    val df = spark.range(0, 200).select(
+      col("id"), concat(lit("s"), col("id")).as("s"),
+      (col("id") % 10).as("m"))
+    graft.table.GenericTable.encode(df, dir, keyCol = "id",
+      GraftTable.Options(targetRowsPerBlock = 64))
+    spark.sql(s"CREATE TABLE graft_sqldel USING graft OPTIONS (path '$dir')")
+    try {
+      spark.sql("DELETE FROM graft_sqldel WHERE id BETWEEN 50 AND 59 OR m = 7")
+      val left = spark.table("graft_sqldel")
+      assert(left.count() == 171) // 200 - 10 (range) - 19 (m=7 outside it)
+      assert(left.where(col("id").between(50, 59)).count() == 0)
+      assert(left.where(col("m") === 7).count() == 0)
+      // the Scala API sees the same table (one source of truth)
+      assert(graft.table.GenericTable.decode(spark, dir).count() == 171)
+      // token-lane tables reject DELETE loudly at analysis
+      spark.sql(s"CREATE TABLE graft_sqldel_tok USING graft OPTIONS (path '$tableDir')")
+      try {
+        val e = intercept[Exception](
+          spark.sql("DELETE FROM graft_sqldel_tok WHERE doc_id = '3'"))
+        assert(e.getMessage != null)
+      } finally spark.sql("DROP TABLE graft_sqldel_tok")
+    } finally spark.sql("DROP TABLE graft_sqldel")
+  }
+
   test("generic tables serve through the connector, equal to decode()") {
     val dir = Files.createTempDirectory("graft-dsv2-gen").toString
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")
