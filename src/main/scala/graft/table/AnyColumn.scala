@@ -33,8 +33,9 @@ object AnyColumn {
     */
   val Kinds: Set[String] =
     Set("int", "long", "string", "f64", "f32", "bin",
-      "arr_int", "arr_long", "arr_str", "arr_f32", "arr_f64",
-      "arr_int_n", "arr_long_n", "arr_str_n", "arr_f32_n", "arr_f64_n")
+      "arr_int", "arr_long", "arr_str", "arr_f32", "arr_f64", "arr_bin",
+      "arr_int_n", "arr_long_n", "arr_str_n", "arr_f32_n", "arr_f64_n",
+      "arr_bin_n")
 
   /** (base kind, element-nullable?) of an array kind; identity otherwise. */
   private def baseOf(kind: String): (String, Boolean) =
@@ -53,6 +54,7 @@ object AnyColumn {
       case "arr_int" => ArrayType(IntegerType, containsNull = elemNullable)
       case "arr_long" => ArrayType(LongType, containsNull = elemNullable)
       case "arr_str" => ArrayType(StringType, containsNull = elemNullable)
+      case "arr_bin" => ArrayType(BinaryType, containsNull = elemNullable)
       case "arr_f32" => ArrayType(FloatType, containsNull = elemNullable)
       case "arr_f64" => ArrayType(DoubleType, containsNull = elemNullable)
       case other => throw new IllegalArgumentException(s"unknown storage kind $other")
@@ -159,6 +161,13 @@ object AnyColumn {
     a
   }
 
+  private def toBins(d: IndexedSeq[Any]): Array[Array[Byte]] = {
+    val a = new Array[Array[Byte]](d.length)
+    var i = 0
+    while (i < d.length) { a(i) = d(i).asInstanceOf[Array[Byte]]; i += 1 }
+    a
+  }
+
   private def encodeDense(kind: String, values0: scala.collection.IndexedSeq[Any]): Array[Byte] = {
     val values = values0
     val n = values.length
@@ -208,6 +217,7 @@ object AnyColumn {
           case "arr_int" => d => IntBlocks.encodeAuto(toInts(d))
           case "arr_long" => d => LongBlocks.encodeAuto(toLongs(d))
           case "arr_str" => d => StrBlocks.encodeAuto(toStrings(d))
+          case "arr_bin" => d => PrimBlocks.encBin(toBins(d))
           case "arr_f32" => d => PrimBlocks.encF32(toFloats(d))
           case "arr_f64" => d => PrimBlocks.encF64(toDoubles(d))
         })
@@ -230,6 +240,8 @@ object AnyColumn {
       case "arr_long" | "arr_f64" => 4L + 8L * seqOf[Any](v).length
       case "arr_str" =>
         4L + seqOf[String](v).foldLeft(0L)((a, s) => a + (if (s == null) 1 else s.length))
+      case "arr_bin" =>
+        4L + seqOf[Array[Byte]](v).foldLeft(0L)((a, b) => a + (if (b == null) 1 else b.length))
       case other => throw new IllegalArgumentException(s"unknown storage kind $other")
     }
 
@@ -290,6 +302,7 @@ object AnyColumn {
         case "arr_int" => r => IntBlocks.decodeReader(r).map(Int.box(_): Any)
         case "arr_long" => r => LongBlocks.decodeReader(r).map(Long.box(_): Any)
         case "arr_str" => r => StrBlocks.decodeReader(r).map(UTF8String.fromString(_): Any)
+        case "arr_bin" => r => PrimBlocks.decBin(r).map(b => b: Any)
         case "arr_f32" => r => PrimBlocks.decF32(r).map(Float.box(_): Any)
         case "arr_f64" => r => PrimBlocks.decF64(r).map(Double.box(_): Any)
       }
@@ -314,6 +327,11 @@ object AnyColumn {
           sliceArrays(lens)(from => to =>
             new GenericArrayData(java.util.Arrays.copyOfRange(flat, from, to)
               .map(UTF8String.fromString(_): Any)))
+        case "arr_bin" =>
+          val flat = PrimBlocks.decBin(in)
+          sliceArrays(lens)(from => to =>
+            new GenericArrayData(java.util.Arrays.copyOfRange(flat, from, to)
+              .asInstanceOf[Array[Any]]))
         case "arr_f32" =>
           val flat = PrimBlocks.decF32(in)
           sliceArrays(lens)(from => to =>

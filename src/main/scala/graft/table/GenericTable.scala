@@ -167,6 +167,7 @@ object GenericTable {
         transform(c, _.cast(IntegerType))))
     case ArrayType(LongType, cn) => Seq(Leaf(path, if (cn) "arr_long_n" else "arr_long", c))
     case ArrayType(StringType, cn) => Seq(Leaf(path, if (cn) "arr_str_n" else "arr_str", c))
+    case ArrayType(BinaryType, cn) => Seq(Leaf(path, if (cn) "arr_bin_n" else "arr_bin", c))
     case ArrayType(FloatType, cn) => Seq(Leaf(path, if (cn) "arr_f32_n" else "arr_f32", c))
     case ArrayType(DoubleType, cn) => Seq(Leaf(path, if (cn) "arr_f64_n" else "arr_f64", c))
     case ArrayType(et @ (DateType | TimestampType | TimestampNTZType | _: DecimalType), _) =>
@@ -250,8 +251,7 @@ object GenericTable {
       s"column $path: type ${other.catalogString} is not supported by the generic " +
         "encoder (supported: integral/bool/date/timestamp/string/float/double/" +
         "binary/decimal(any precision), nested structs, maps with non-map keys, " +
-        "and arrays nested to any depth over those — binary inside an array " +
-        "is the one unsupported leaf position)")
+        "and arrays nested to any depth over those)")
   }
 
   private def containsMap(t: DataType): Boolean = t match {

@@ -69,9 +69,10 @@ class GenericArbitrarySpec extends AnyFunSuite {
   }
 
   /** Types legal under an array/map shredding position: the full grammar
-    * minus binary (the one unsupported leaf position under repetition).
+    * including binary (arr_bin legs) — only map KEYS stay binary-free
+    * (byte-array equality is reference-based in the external Scala Map).
     */
-  private def genArrayable(rnd: Random, depth: Int): DataType = rnd.nextInt(6) match {
+  private def genArrayable(rnd: Random, depth: Int): DataType = rnd.nextInt(7) match {
     case 1 if depth > 0 =>
       ArrayType(genArrayable(rnd, depth - 1), containsNull = rnd.nextBoolean())
     case 2 if depth > 0 =>
@@ -80,6 +81,7 @@ class GenericArbitrarySpec extends AnyFunSuite {
     case 3 if depth > 0 =>
       MapType(genKeyT(rnd, depth - 1), genArrayable(rnd, depth - 1),
         valueContainsNull = rnd.nextBoolean())
+    case 4 => BinaryType
     case _ => genElem(rnd)
   }
 

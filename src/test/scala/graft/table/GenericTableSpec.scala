@@ -165,9 +165,9 @@ class GenericTableSpec extends AnyFunSuite {
     val cols = d.map(_.getString(0)).toSet
     assert(cols == Set("doc_id", "text", "lang", "source", "n_chars"))
     assert(d.forall(r => r.getAs[Long]("bytes") > 0))
-    // binary inside an array is the one unsupported leaf position — loud
-    // plan-time error, not a silent drop (arrays now nest to any depth)
-    val bad = docs.withColumn("m", array(col("text").cast("binary")))
+    // genuinely unstorable types reject loud at plan time (not a silent
+    // drop): calendar intervals have no storage kind
+    val bad = docs.withColumn("m", expr("make_interval(0, 0, 0, 1, 0, 0, 0)"))
     val e = intercept[UnsupportedOperationException](
       GenericTable.encode(bad, tmpDir("bad")))
     assert(e.getMessage.contains("not supported"))
@@ -701,6 +701,38 @@ class GenericTableSpec extends AnyFunSuite {
     assert(kept.where(col("id").isNull).count() == 25,
       "null-key rows must survive any range delete")
     assert(kept.where(col("id").isNotNull).count() == 0)
+  }
+
+  test("binary arrays round-trip, including inside structs and nesting") {
+    val df = spark.sql("""
+      SELECT id,
+             CASE
+               WHEN id % 7 = 0 THEN CAST(NULL AS ARRAY<BINARY>)
+               WHEN id % 7 = 1 THEN array()
+               ELSE array(CAST(concat('b', id) AS BINARY),
+                          CAST(NULL AS BINARY),
+                          CAST('' AS BINARY))
+             END AS ab,
+             array(named_struct(
+               'payload', array(CAST(concat('p', id) AS BINARY)),
+               'tag', CAST(id AS INT))) AS ls,
+             array(array(CAST(concat('d', id) AS BINARY)), array()) AS aab
+      FROM range(0, 300)
+    """)
+    val dir = tmpDir("binarr")
+    GenericTable.encode(df, dir, keyCol = "id",
+      opts = GraftTable.Options(targetRowsPerBlock = 64))
+    val dec = GenericTable.decode(spark, dir)
+    assert(dec.schema("ab").dataType.catalogString == "array<binary>")
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.selectExpr("id",
+        "to_json(named_struct('ab', transform(ab, x -> base64(x)), " +
+          "'ls', transform(ls, s -> named_struct('p', transform(s.payload, x -> base64(x)), 't', s.tag)), " +
+          "'aab', transform(aab, a -> transform(a, x -> base64(x))))) AS j")
+        .collect().map(r => s"${r.getLong(0)}|${r.getString(1)}").sorted.toSeq
+    assert(canon(dec) == canon(df))
+    // the connector assembles identical rows
+    assert(canon(spark.read.format("graft").load(dir)) == canon(df))
   }
 
   test("deleteWhere on an evolved table: NULL predicate keeps pre-evolution rows") {
