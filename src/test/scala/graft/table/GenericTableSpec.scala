@@ -688,6 +688,19 @@ class GenericTableSpec extends AnyFunSuite {
     // the DSv2 connector serves the post-delete table identically
     assert(spark.read.format("graft").load(dir).count() == 577)
 
+    // full-table delete: every version empties, the snapshot commits with
+    // zero data dirs, and the table still decodes (as empty) and accepts
+    // a fresh append
+    val dir3 = tmpDir("delall")
+    GenericTable.encode(mk(0, 100), dir3, keyCol = "id", opts)
+    GenericTable.append(mk(100, 100), dir3, opts)
+    val rAll = GenericTable.deleteWhere(spark, dir3, lit(true))
+    assert(rAll.rowCount == 0)
+    assert(GenericTable.decode(spark, dir3).count() == 0)
+    assert(GraftTable.currentSnapshot(spark, dir3).get.dataDirs.isEmpty)
+    GenericTable.append(mk(500, 50), dir3, opts)
+    assert(GenericTable.decode(spark, dir3).count() == 50)
+
     // null keys: a range delete containing the null-hash value (42) must
     // never delete null-key rows
     val dir2 = tmpDir("delnull")
