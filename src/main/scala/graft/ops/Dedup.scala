@@ -387,20 +387,43 @@ object Dedup {
     * component converges in O(log D) rounds, not O(D) (the naive
     * propagation a drifting-boilerplate chain would defeat). Everything
     * is id-only: no text/shingles travel, so a round shuffles
-    * O(|V| + |E|) ids regardless of document size.
+    * O(|V_paired| + |E|) ids regardless of document size — the iterated
+    * frame holds ONLY vertices that appear in some pair: a vertex with no
+    * edge can never change its label, so singletons join the result by
+    * anti-join at the end instead of riding (and being shuffled by) every
+    * round. Convergence is observed IN the generation's own
+    * materialization job (a changed-label count via `observe`), so each
+    * round is ONE action, not a materialize + compare-join pair.
+    *
+    * Edges are restricted to endpoints present in `docs` (a pair id
+    * absent from docs can neither appear in the output nor win a
+    * min-label — it would otherwise mark a whole real cluster
+    * non-canonical).
     *
     * Returns one row per INPUT document: (doc_id, cluster_id,
     * cluster_size, is_canonical); unpaired documents are singleton
-    * clusters of themselves. The edge frame is persisted (one consumer
-    * per round) — call [[releaseCaches]] after materializing; label
-    * generations are eagerly checkpointed and reclaimed by the
-    * ContextCleaner.
+    * clusters of themselves. The edge/id frames are persisted — call
+    * [[releaseCaches]] after materializing; label generations are eagerly
+    * checkpointed and reclaimed by the ContextCleaner.
     */
   def clusters(pairs: DataFrame, docs: DataFrame, maxIters: Int = 25): DataFrame = {
     val idMin = (c: Column) => struct(length(c).as("l"), c.as("s"))
-    val edges = trackedPersist(
-      pairs.select(col("doc_a").as("v"), col("doc_b").as("w"))
-        .unionAll(pairs.select(col("doc_b").as("v"), col("doc_a").as("w"))))
+    val ids = trackedPersist(
+      docs.select(col("doc_id").cast("string").as("v")).distinct())
+    // endpoint restriction (see doc comment), on the undirected pair list
+    // so each semi-join key is checked once, then ONE scan mirrors both
+    // directions — the previous two-branch unionAll computed the
+    // (possibly expensive) upstream pair plan twice.
+    val valid = pairs
+      .select(col("doc_a").cast("string").as("doc_a"),
+        col("doc_b").cast("string").as("doc_b"))
+      .join(ids.select(col("v").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(ids.select(col("v").as("doc_b")), Seq("doc_b"), "left_semi")
+    val edges = trackedPersist(valid
+      .select(explode(array(
+        struct(col("doc_a").as("v"), col("doc_b").as("w")),
+        struct(col("doc_b").as("v"), col("doc_a").as("w")))).as("e"))
+      .select(col("e.v").as("v"), col("e.w").as("w")))
     // each generation is EAGERLY localCheckpoint-ed: an iterative frame
     // rebuilt on its predecessor doubles its LOGICAL plan every round
     // (the self-join references the previous generation twice), so by
@@ -409,41 +432,75 @@ object Dedup {
     // plan). Checkpoint blocks are executor-local (the standard iterative
     // graph-algorithm trade: a lost executor fails the job and the
     // caller reruns); the ContextCleaner reclaims old generations.
-    var labels = docs.select(col("doc_id").cast("string").as("v")).distinct()
+    var labels = edges.select(col("v")).distinct()
       .withColumn("lbl", col("v"))
       .localCheckpoint(true)
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty // no edges → nothing to propagate
     while (!converged && iter < maxIters) {
-      // neighbor min: lbl(v) <- min over N(v) + self
+      // neighbor min: lbl(v) <- min over N(v) + self; `prev` (the
+      // incoming label) rides the same aggregate — exactly one self row
+      // per v carries it, so max() recovers it without an extra join
       val viaEdges = edges
         .join(labels.select(col("v").as("w"), col("lbl")), "w")
-        .select(col("v"), col("lbl"))
-      val m1 = labels.select(col("v"), col("lbl")).unionAll(viaEdges)
-        .groupBy("v").agg(min(idMin(col("lbl"))).as("m"))
-        .select(col("v"), col("m.s").as("lbl"))
+        .select(col("v"), col("lbl"), lit(null).cast("string").as("prev"))
+      val m1 = labels.select(col("v"), col("lbl"), col("lbl").as("prev"))
+        .unionAll(viaEdges)
+        .groupBy("v")
+        .agg(min(idMin(col("lbl"))).as("m"), max(col("prev")).as("prev"))
+        .select(col("v"), col("m.s").as("lbl"), col("prev"))
       // pointer jump: lbl(v) <- lbl(lbl(v)) (labels are always doc ids,
       // so the left join only misses when lbl is already canonical-free;
-      // coalesce keeps it)
+      // coalesce keeps it). The changed-label count is observed in THIS
+      // job — no second convergence action per round.
+      val obs = org.apache.spark.sql.Observation()
       val next = m1
         .join(m1.select(col("v").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
-        .select(col("v"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+        .select(col("v"), coalesce(col("lbl2"), col("lbl")).as("lbl"), col("prev"))
+        .observe(obs,
+          sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)).as("chg"))
         .localCheckpoint(true)
-      converged = next.alias("n")
-        .join(labels.alias("o"), "v")
-        .where(col("n.lbl") =!= col("o.lbl"))
-        .isEmpty
-      labels = next
+      converged = changedLabels(obs, next) == 0L
+      labels = next.select(col("v"), col("lbl"))
       iter += 1
     }
     if (!converged)
       log.warn(s"graft dedup clusters: not converged after $maxIters rounds " +
         "(component diameter > 2^iters is pathological); labels are a valid " +
         "REFINEMENT (over-segmented), never a wrong merge")
+    // sizes over PAIRED vertices only; singletons are size-1 clusters of
+    // themselves by construction (their label can never change) and skip
+    // the groupBy/join entirely — O(paired) shuffle, not O(docs)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "lbl")
+    val clustered = labels.join(sizes, "lbl")
       .select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
         col("cluster_size"), (col("v") === col("lbl")).as("is_canonical"))
+    val singles = ids.join(labels.select(col("v")), Seq("v"), "left_anti")
+      .select(col("v").as("doc_id"), col("v").as("cluster_id"),
+        lit(1L).as("cluster_size"), lit(true).as("is_canonical"))
+    clustered.unionAll(singles)
+  }
+
+  /** Changed-label count from the generation's observed metric. The
+    * listener delivering observe() results is asynchronous, so poll
+    * briefly; if the metric never lands (it always does in practice — the
+    * generation job has just completed), fall back to scanning the
+    * checkpointed generation itself, which is a cheap local scan, never a
+    * recompute.
+    */
+  private def changedLabels(
+      obs: org.apache.spark.sql.Observation, next: DataFrame): Long = {
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var m = org.apache.spark.sql.GraftSql.observedOrEmpty(obs)
+    while (m.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(2)
+      m = org.apache.spark.sql.GraftSql.observedOrEmpty(obs)
+    }
+    m.get("chg") match {
+      case Some(n: java.lang.Long) => n.longValue()
+      case Some(n: java.lang.Number) => n.longValue()
+      case _ => next.where(col("lbl") =!= col("prev")).count()
+    }
   }
 
   /** Brute-force exact n-gram Jaccard pairs ≥ threshold — the correctness

@@ -16,6 +16,13 @@ object GraftSql {
   /** Type equality ignoring nullability/case (private[sql] in Spark). */
   def sameType(a: types.DataType, b: types.DataType): Boolean = a.sameType(b)
 
+  /** Non-blocking read of an Observation's metrics (`getOrEmpty` is
+    * private[sql]): empty until the observed action's listener event has
+    * been delivered, so callers can poll with a deadline instead of
+    * risking `get`'s unbounded wait.
+    */
+  def observedOrEmpty(o: Observation): Map[String, Any] = o.getOrEmpty
+
   /** Register graft codec expressions as SQL functions so `selectExpr` /
     * `spark.sql` can call them: graft_encode(arr[, 'codec']),
     * graft_decode(bin), graft_decode_str(bin), graft_reslice(flat, lens).

@@ -116,6 +116,69 @@ class OpsSpec extends AnyFunSuite {
     assert(labels.count(_.getBoolean(3)) == 1)
   }
 
+  test("clusters: pair endpoints absent from docs neither leak nor win labels") {
+    // "1" pairs with ghost "0" (not in docs): the ghost must not appear in
+    // the output, and must not win the min-label (which would mark the
+    // whole real cluster non-canonical — ADVICE r5)
+    val pairs = Seq(("0", "1"), ("1", "2")).toDF("doc_a", "doc_b")
+    val ds = Seq("1", "2", "3").toDF("doc_id")
+    val out = Dedup.clusters(pairs, ds).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    Dedup.releaseCaches(blocking = true)
+    assert(out.keySet == Set("1", "2", "3"), out.toString) // one row per INPUT doc
+    assert(out("1") == (("1", 2L, true)))  // ghost "0" did not win the label
+    assert(out("2") == (("1", 2L, false)))
+    assert(out("3") == (("3", 1L, true))) // singleton via the anti-join path
+  }
+
+  test("clusters: one action per propagation round (convergence is observed in-pass)") {
+    // action accounting: convergence must be read from the generation's
+    // own observe() metric, not from a second per-round action (the old
+    // compare-join isEmpty) — iterative rounds are the one place
+    // per-round latency multiplies. Count query-execution actions by name.
+    val byName = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val lsn = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        byName.merge(funcName, 1, (a, b) => a + b)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    val path = Seq(("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5"))
+      .toDF("doc_a", "doc_b")
+    val pdocs = Seq("p1", "p2", "p3", "p4", "p5").toDF("doc_id")
+    spark.listenerManager.register(lsn)
+    try {
+      val out = Dedup.clusters(path, pdocs).collect()
+      assert(out.length == 5 && out.forall(_.getString(1) == "p1"))
+      // listener delivery is async — poll until counts stabilize
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var last = -1
+      var cur = byName.values().stream().mapToInt(_.intValue).sum()
+      while (cur != last && System.nanoTime() < deadline) {
+        last = cur; Thread.sleep(200)
+        cur = byName.values().stream().mapToInt(_.intValue).sum()
+      }
+      val checkpoints = byName.getOrDefault("localCheckpoint", 0) +
+        byName.getOrDefault("checkpoint", 0)
+      val empties = byName.getOrDefault("isEmpty", 0)
+      val counts = byName.getOrDefault("count", 0)
+      // diameter 4 ⇒ ≥2 propagation rounds + 1 confirming round, each ONE
+      // checkpoint action; plus the initial seed checkpoint ⇒ ≥4. The only
+      // isEmpty is the one up-front no-edges guard; no per-round count()
+      // fallback fired.
+      assert(checkpoints >= 4, byName.toString)
+      assert(empties <= 1, byName.toString)
+      assert(counts == 0, byName.toString)
+    } finally {
+      spark.listenerManager.unregister(lsn)
+      Dedup.releaseCaches(blocking = true)
+    }
+  }
+
   test("cap skips are logged + recorded; releaseCaches clears shingle caches") {
     Dedup.capSkips.clear()
     Dedup.releaseCaches(blocking = true) // drain frames earlier tests left
