@@ -202,14 +202,18 @@ object Dedup {
       col("doc_id"), graft_minhash(col("sh"), numHashes).as("sig"))
 
     // band key = (band index, hash of the band's slice of the signature);
-    // ids only — no shingle payload
-    val banded = sig.select(
+    // ids only — no shingle payload. Persisted: the frame feeds BOTH the
+    // bucket-size aggregate and the capped join input, and without the
+    // cache each consumer recomputes the full MinHash signature pass
+    // (numHashes hashes over every shingle of every doc — the operator's
+    // dominant CPU) — measured twice per action.
+    val banded = trackedPersist(sig.select(
       col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+      .withColumnRenamed("col", "bucket"))
 
     // bucket-size cap: drop degenerate buckets before the self-join.
     // Deliberately groupBy + broadcast-semi rather than a count window
@@ -337,13 +341,15 @@ object Dedup {
       col("doc_id").cast("string").as("doc_id"),
       graft_simhash(split(col("text"), " ")).as("sk"))
 
-    val allBands = sk.select(
+    // persisted: two consumers (bucket-size agg + capped join), each
+    // otherwise recomputing the SimHash sketch over every token
+    val allBands = trackedPersist(sk.select(
       col("doc_id"), col("sk"),
       posexplode(transform(
         sequence(lit(0), lit(3)),
         b => call_function("shiftrightunsigned", col("sk"), b * 16).bitwiseAND(lit(0xFFFFL)))))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+      .withColumnRenamed("col", "bucket"))
 
     // bucket cap (the minHashLsh/jaccardPairs analogue): a flood of
     // identical documents lands one bucket of every band and would make
@@ -543,10 +549,12 @@ object Dedup {
       maxBucket: Int = 4096): DataFrame = {
     val base = emb.select(
       col("vec_id").cast("long").as("vec_id"), col("embedding"))
-    val banded = base.select(
+    // persisted for the same reason as minHashLsh's banded frame: two
+    // consumers, each otherwise recomputing the hyperplane signatures
+    val banded = trackedPersist(base.select(
         col("vec_id"),
         posexplode(Similarity.hyperplaneBandKeys(col("embedding"), bands, rowsPerBand)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
 
     val smallBuckets = observeCaps(banded
       .groupBy("band", "bucket").agg(count(lit(1)).as("bsize")),

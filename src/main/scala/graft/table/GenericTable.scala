@@ -383,6 +383,17 @@ object GenericTable {
     parent.map(_.stats.filter(_._1.startsWith("stream_")).toMap)
       .getOrElse(Map.empty)
 
+  private val timing = sys.env.get("GRAFT_TIMING").contains("1")
+  private def timed[T](label: String)(f: => T): T = {
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"GRAFT_TIMING g-$label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+  }
+
   def encode(
       df: DataFrame,
       tableDir: String,
@@ -406,10 +417,10 @@ object GenericTable {
         keyExprOf(key, schema(key).dataType).as("_graft_key"): _*)
       .withColumn("_graft_rh", rowHash(leaves))
 
-    val st = keyed.agg(
+    val st = timed("fingerprint")(keyed.agg(
       count(lit(1)).as("rows"),
       expr("bit_xor(_graft_rh)").as("x"),
-      expr("sum(cast(_graft_rh as decimal(38,0)))").as("s")).head()
+      expr("sum(cast(_graft_rh as decimal(38,0)))").as("s")).head())
     val rows = st.getLong(0)
     val xor = if (st.isNullAt(1)) 0L else st.getLong(1)
     val sumMod =
@@ -450,8 +461,8 @@ object GenericTable {
     val (bounds, boundsDir): (Array[Long], Option[String]) = parent match {
       case Some(p) => (GraftTable.loadBounds(spark, tableDir, p), p.boundsDir)
       case None =>
-        val b = GraftTable.computeBounds(
-          keyed, rows, opts.targetRowsPerBlock, opts.sampleRows)
+        val b = timed("bounds")(GraftTable.computeBounds(
+          keyed, rows, opts.targetRowsPerBlock, opts.sampleRows))
         if (b.isEmpty) (b, None)
         else {
           val dir = s"metadata/bounds/v$ver"
@@ -478,10 +489,15 @@ object GenericTable {
       case None => notDone
     }
 
-    val dataDir = writeBlocksVersion(todo, tableDir, ver, leaves, numBlocks, rows)
+    val dataDir = timed("encode+write")(
+      writeBlocksVersion(todo, tableDir, ver, leaves, numBlocks, rows))
+    // persisted: count + JSON write share one pass over the written blocks
+    // (the manifest aggregate reads every payload byte for block_sig)
     val manifest = manifestOf(spark, s"$tableDir/$dataDir", leaves.length)
-    val newBlocks = manifest.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBlocks = timed("manifest-count")(manifest.count())
     if (newBlocks == 0 && parent.nonEmpty) {
+      manifest.unpersist(false)
       GraftTable.delete(spark, s"$tableDir/$dataDir")
       val p = parent.get
       return EncodeResult(p.version, p.snapshotId, p.numBlocks, 0L,
@@ -489,17 +505,19 @@ object GenericTable {
         p.contentSig, p.complete)
     }
     val manifestDir = s"manifests/v$ver"
-    manifest.write.mode("overwrite").json(s"$tableDir/$manifestDir")
+    timed("manifest-write")(
+      manifest.write.mode("overwrite").json(s"$tableDir/$manifestDir"))
+    manifest.unpersist(false)
 
     val manifestDirs = parent.map(_.manifestDirs).getOrElse(Nil) :+ manifestDir
     val dataDirs = parent.map(_.dataDirs).getOrElse(Nil) :+ dataDir
-    val all = spark.read.json(manifestDirs.map(d => s"$tableDir/$d"): _*)
-    val tot = all.agg(
+    val all = GraftTable.readManifestTotals(spark, tableDir, manifestDirs)
+    val tot = timed("totals")(all.agg(
       count(lit(1)).as("blocks"),
       sum("row_count").as("rows"),
       sum("bytes_total").as("bytes"),
       sum("plain_bytes").as("plain"),
-      expr("bit_xor(block_sig)").as("sig")).head()
+      expr("bit_xor(block_sig)").as("sig")).head())
 
     val blocksDone = tot.getLong(0)
     val contentSig = f"${tot.getLong(4)}%016x"
@@ -594,7 +612,7 @@ object GenericTable {
     val dataDirs = parent.dataDirs :+ dataDir
     // cross-version totals: manifests of evolved versions differ in their
     // codec_i columns, but the accounting columns are common to all
-    val all = spark.read.json(manifestDirs.map(d => s"$tableDir/$d"): _*)
+    val all = GraftTable.readManifestTotals(spark, tableDir, manifestDirs)
     val tot = all.agg(
       count(lit(1)).as("blocks"),
       sum("row_count").as("rows"),
@@ -720,7 +738,7 @@ object GenericTable {
       val tot =
         if (manifestDirs.isEmpty) (0L, 0L, 0L, 0L, 0L)
         else {
-          val all = spark.read.json(manifestDirs.map(d => s"$tableDir/$d"): _*)
+          val all = GraftTable.readManifestTotals(spark, tableDir, manifestDirs)
           val t = all.agg(
             count(lit(1)).as("blocks"), sum("row_count").as("rows"),
             sum("bytes_total").as("bytes"), sum("plain_bytes").as("plain"),
@@ -785,12 +803,22 @@ object GenericTable {
     if (p.dataDirs.isEmpty) return noop
     val merged = readSchemaOf(p)
     // detection scan: only the columns the predicate references (all, if
-    // the expression is opaque), each matching row tagged by version
-    val refCols = GraftSql.expression(predicate).collect {
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
-    }.distinct.filter(n => merged.fieldNames.contains(n))
+    // the expression is opaque). Each reference is matched by its FIRST
+    // name part, case-insensitively, against the top-level schema — a
+    // nested-field reference (s.f) scans its parent column, and a
+    // case-mismatched name still resolves; if ANY reference fails to
+    // match, fall back to scanning every column rather than handing
+    // tagged.where() a frame missing a needed column (ADVICE r5).
+    val refs = GraftSql.expression(predicate).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.nameParts.head
+    }.distinct
+    val byLower = merged.fieldNames.map(f => f.toLowerCase -> f).toMap
+    val matched = refs.flatMap(r => byLower.get(r.toLowerCase))
     val scanCols =
-      if (refCols.nonEmpty) refCols.toIndexedSeq else merged.fieldNames.toIndexedSeq
+      if (refs.nonEmpty && matched.length == refs.length)
+        matched.distinct.toIndexedSeq
+      else merged.fieldNames.toIndexedSeq
     val tagged = decodeFields(spark, tableDir, p, merged, scanCols)
       .withColumn("__gver",
         regexp_extract(input_file_name(), "/data/v(\\d+)/", 1).cast("int"))
@@ -1078,7 +1106,14 @@ object GenericTable {
       lo: Long,
       hi: Long): Seq[String] = {
     if (snap.manifestDirs.isEmpty) return snap.dataDirs
-    val spans = GraftTable.readManifest(spark, tableDir, snap)
+    // explicit schema: the span prune touches three fields — skip the
+    // manifest JSON schema-inference pass
+    val spanSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ver", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("key_min", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("key_max", org.apache.spark.sql.types.LongType)))
+    val spans = spark.read.schema(spanSchema)
+      .json(snap.manifestDirs.map(d => s"$tableDir/$d"): _*)
       .groupBy(col("ver").cast("int").as("v"))
       .agg(min(col("key_min").cast("long")).as("kmin"),
         max(col("key_max").cast("long")).as("kmax"))

@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -269,12 +270,16 @@ object GraftTable {
     timed("encode+write")(
       blocks.write.mode("overwrite").parquet(s"$tableDir/$dataDir"))
 
-    // manifest from the WRITTEN files (column-pruned scan, no re-encode)
+    // manifest from the WRITTEN files (column-pruned scan, no re-encode);
+    // persisted so count + JSON write share one computation instead of
+    // re-aggregating the written blocks twice
     val manifest = manifestOf(spark, s"$tableDir/$dataDir")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val newBlocks = timed("manifest-count")(manifest.count())
     if (newBlocks == 0 && parent.nonEmpty) {
       // nothing to do: drop the empty version dir, current snapshot stands
+      manifest.unpersist(false)
       delete(spark, s"$tableDir/$dataDir")
       val p = parent.get
       return EncodeResult(p.version, p.snapshotId, p.numBlocks, 0L,
@@ -284,6 +289,7 @@ object GraftTable {
     if (newBlocks == 0) {
       // empty input, no parent: commit an empty (complete) snapshot —
       // spark.read.json cannot infer a schema from a rowless manifest dir
+      manifest.unpersist(false)
       delete(spark, s"$tableDir/$dataDir")
       val snapshotId = Hashing.sha256Hex(
         s"v$ver;parent=none;fp=${stats.fingerprint};empty")
@@ -301,12 +307,13 @@ object GraftTable {
 
     val manifestDir = s"manifests/v$ver"
     timed("manifest-write")(manifest.write.mode("overwrite").json(s"$tableDir/$manifestDir"))
+    manifest.unpersist(false)
 
     val manifestDirs = parent.map(_.manifestDirs).getOrElse(Nil) :+ manifestDir
     val dataDirs = parent.map(_.dataDirs).getOrElse(Nil) :+ dataDir
 
     // snapshot totals over ALL live manifests: O(1) driver state
-    val all = spark.read.json(manifestDirs.map(d => s"$tableDir/$d"): _*)
+    val all = readManifestTotals(spark, tableDir, manifestDirs)
     val tot = timed("totals")(all.agg(
       count(lit(1)).as("blocks"),
       sum("row_count").as("rows"),
@@ -361,6 +368,25 @@ object GraftTable {
     parent.map(_.stats.filter(_._1.startsWith("stream_")).toMap)
       .getOrElse(Map.empty)
 
+  /** Totals-projection schema for manifest JSON reads: every totals
+    * aggregate in the commit paths touches only these five LONG fields, so
+    * reading with an explicit schema skips spark.read.json's
+    * schema-inference pass (a full extra read of every manifest file).
+    * Token-lane manifests carry all five; generic-lane manifests have no
+    * token_count (reads null, which no generic consumer aggregates).
+    */
+  private[table] val manifestTotalsSchema = StructType(Seq(
+    StructField("row_count", LongType),
+    StructField("token_count", LongType),
+    StructField("bytes_total", LongType),
+    StructField("plain_bytes", LongType),
+    StructField("block_sig", LongType)))
+
+  private[table] def readManifestTotals(
+      spark: SparkSession, tableDir: String, manifestDirs: Seq[String]): DataFrame =
+    spark.read.schema(manifestTotalsSchema)
+      .json(manifestDirs.map(d => s"$tableDir/$d"): _*)
+
   /** Range-block bounds from a hash-strided key sample. Properties a plain
     * `df.sample(seed)` + approxQuantile would NOT give:
     *   - layout independence: `sample()` seeds per partition, so the chosen
@@ -391,6 +417,33 @@ object GraftTable {
       .where(col("_graft_key").isNotNull &&
         pmod(xxhash64(col("_graft_key")), lit(stride)) === 0)
       .select(col("_graft_key").as("k"))
+
+    // small-sample fast path: the boundary keys land on the driver either
+    // way (the bounds array IS driver state), so when the sample itself is
+    // driver-sized, collect it once and pick the SAME cut points locally —
+    // identical bounds (same sample set, same rank rule, multiset order),
+    // one job instead of the 3-4 the distributed rank machinery costs.
+    // The gate is the expected sample count, bounded by the sample budget;
+    // big tables (or numBlocks-dominated budgets) take the distributed
+    // path below exactly as before.
+    val expectedSample = rows / stride
+    if (expectedSample <= SmallBoundsSampleMax) {
+      val ks = s.collect().map(_.getLong(0)).sorted
+      val cnt = ks.length.toLong
+      if (cnt < numBlocks) return Array.empty
+      val out = Array.newBuilder[Long]
+      var rn = 2L // interior cuts only: rn != 1 && rn != cnt
+      while (rn < cnt) {
+        // same edge rule as the distributed path: floor over DOUBLE
+        // division (Spark's Divide casts both sides to double)
+        if (((rn * numBlocks).toDouble / cnt).toLong !=
+            (((rn - 1) * numBlocks).toDouble / cnt).toLong)
+          out += ks((rn - 1).toInt)
+        rn += 1
+      }
+      return out.result().distinct.sorted
+    }
+
     val parallelism = keyed.sparkSession.sparkContext.defaultParallelism
     val (ranked, cnt, release) = Ranks.withRank(s, col("k"), "rn", parallelism * 2)
     try {
@@ -404,6 +457,14 @@ object GraftTable {
         .select("k").collect().map(_.getLong(0)).distinct.sorted
     } finally release()
   }
+
+  /** Max expected sample count for [[computeBounds]]'s driver-side sort
+    * path (~8 MB of longs — the bounds ARRAY itself can be 120 MB at 15M
+    * blocks, so this adds no new driver-memory class). Overridable for
+    * tests via the graft.bounds.smallSampleMax system property.
+    */
+  private[table] def SmallBoundsSampleMax: Long =
+    sys.props.get("graft.bounds.smallSampleMax").map(_.toLong).getOrElse(1L << 20)
 
   /** Spill-aware partition count for the encode exchange. Three regimes:
     *   - small tables: one partition per block is enough (never exceed
@@ -847,7 +908,7 @@ object GraftTable {
 
     val manifestDirs = p.manifestDirs :+ manifestDir
     val dataDirs = p.dataDirs :+ dataDir
-    val all = spark.read.json(manifestDirs.map(d => s"$tableDir/$d"): _*)
+    val all = readManifestTotals(spark, tableDir, manifestDirs)
     val tot = all.agg(
       count(lit(1)).as("blocks"), sum("row_count").as("rows"),
       sum("token_count").as("tokens"), sum("bytes_total").as("bytes"),
@@ -955,7 +1016,7 @@ object GraftTable {
 
     val manifestDirs = keepMan :+ manifestDir
     val dataDirs = keepData :+ dataDir
-    val all = spark.read.json(manifestDirs.map(d => s"$tableDir/$d"): _*)
+    val all = readManifestTotals(spark, tableDir, manifestDirs)
     val tot = all.agg(
       count(lit(1)).as("blocks"), sum("row_count").as("rows"),
       sum("token_count").as("tokens"), sum("bytes_total").as("bytes"),

@@ -106,11 +106,14 @@ object Stats {
     val rowBudget = math.max(1L, (sampleRows.toDouble / avgTok).toLong)
     val stride = math.max(1L, rows / rowBudget)
     // the sample feeds TWO jobs (exploded HLL + adjacency) — persist it so
-    // the full input is scanned once, not once per job
-    val doPersist = stride > 1L
+    // the full input is scanned once, not once per job. At stride == 1 the
+    // WHOLE input is the sample, but that case is size-bounded by
+    // construction (stride == 1 ⟺ total tokens ≲ sampleRows), so
+    // persisting is safe at any scale and saves the second full scan.
+    val doPersist = true
     val sample =
-      if (!doPersist) keyed
-      else keyed.where(pmod(xxhash64(col("doc_id")), lit(stride)) === 0)
+      (if (stride <= 1L) keyed
+       else keyed.where(pmod(xxhash64(col("doc_id")), lit(stride)) === 0))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
 

@@ -67,6 +67,28 @@ class BoundsSpec extends AnyFunSuite {
     }
   }
 
+  test("computeBounds small-sample driver path equals the distributed path") {
+    // the driver-side sort fast path must pick byte-identical cut points
+    // (same sample set, same rank rule) — blocking determines every block
+    // payload, so any divergence would break table-byte determinism
+    val rnd = new scala.util.Random(77)
+    (0 until 3).foreach { trial =>
+      val n = 2000 + rnd.nextInt(4000)
+      val dup = 1 + rnd.nextInt(4)
+      val keyed = Array.fill(n)(rnd.nextLong() % (n / dup + 1))
+        .toIndexedSeq.toDF("_graft_key")
+      val fast = GraftTable.computeBounds(keyed, n, 64, 1L << 20)
+      System.setProperty("graft.bounds.smallSampleMax", "0")
+      try {
+        val dist = GraftTable.computeBounds(keyed, n, 64, 1L << 20)
+        assert(fast.sameElements(dist),
+          s"trial $trial: fast=${fast.take(5).mkString(",")}… " +
+            s"dist=${dist.take(5).mkString(",")}…")
+        assert(fast.nonEmpty, s"trial $trial produced no bounds")
+      } finally System.clearProperty("graft.bounds.smallSampleMax")
+    }
+  }
+
   test("Ranks.withRank handles empty input") {
     val (_, total, release) = Ranks.withRank(
       Seq.empty[Long].toDF("k"), col("k"), "rn", 4)

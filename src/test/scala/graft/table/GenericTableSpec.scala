@@ -773,6 +773,29 @@ class GenericTableSpec extends AnyFunSuite {
     assert(dec.schema.fieldNames.toSeq == Seq("id", "a", "b"))
   }
 
+  test("deleteWhere resolves nested-field and case-mismatched references") {
+    // ADVICE r5: a predicate mixing a top-level column with a nested-field
+    // reference (st.f) or a case-mismatched name must not make the
+    // column-pruned detection scan drop a needed column (which threw
+    // AnalysisException); the nested reference scans its parent column
+    val dir = tmpDir("delnest")
+    val opts = GraftTable.Options(targetRowsPerBlock = 64)
+    val rows = (0 until 100).toDF("k").select(
+      col("k").cast("long").as("id"),
+      struct((col("k") % 7).cast("long").as("f")).as("st"),
+      concat(lit("s"), col("k")).as("s"))
+    GenericTable.encode(rows, dir, keyCol = "id", opts)
+    // mixed top-level + nested reference
+    GenericTable.deleteWhere(spark, dir,
+      col("id") < 10L && col("st.f") === 3L)
+    val dec = GenericTable.decode(spark, dir)
+    assert(dec.count() == 99) // only id 3 has id < 10 AND id % 7 == 3
+    assert(dec.where(col("id") < 10L && col("st.f") === 3L).count() == 0)
+    // case-mismatched top-level name still prunes + deletes correctly
+    GenericTable.deleteWhere(spark, dir, expr("ID = 50"))
+    assert(GenericTable.decode(spark, dir).where(col("id") === 50L).count() == 0)
+  }
+
   test("deleteKeys + upsertByKey: exact key replacement, span-pruned rewrite") {
     val dir = tmpDir("upsert")
     val opts = GraftTable.Options(targetRowsPerBlock = 64)
