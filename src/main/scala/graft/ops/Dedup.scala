@@ -133,13 +133,15 @@ object Dedup {
       coalesce(max(col(sizeCol)), lit(0L)).as("largest_group"))
   }
 
-  /** Word k-gram shingle set of a text column (distinct, order-free). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val words = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
-      i => array_join(slice(words, i, lit(k)), " ")))
-  }
+  /** Word k-gram shingle set of a text column (distinct, order-free).
+    * Native codegen'd expression — the HOF formulation
+    * (array_distinct∘transform∘slice∘split) re-evaluated split(text)
+    * inside the lambda per element (no CSE across lambda boundaries),
+    * i.e. O(words²) per document; element-equal output, one pass.
+    */
+  def shingles(text: Column, k: Int = 3): Column =
+    org.apache.spark.sql.GraftSql.column(graft.expr.WordShingles(
+      org.apache.spark.sql.GraftSql.expression(text), k))
 
   /** Exact duplicates via content digest: `is_dup` marks every row after
     * the first (by doc_id order) with the same text.
@@ -364,6 +366,11 @@ object Dedup {
 
     val a = banded.alias("a")
     val b = banded.alias("b")
+    // dedup AFTER the hamming verify (one XOR+popcount per row): the
+    // pair-dedup exchange then carries only verified, output-proportional
+    // rows instead of the multi-band candidate stream (see
+    // embeddingNearDup for the rationale; hamming is deterministic, so
+    // duplicates are identical rows)
     a.join(b,
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
@@ -373,10 +380,10 @@ object Dedup {
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sk").as("sk_a"), col("b.sk").as("sk_b"))
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", bit_count(col("sk_a").bitwiseXOR(col("sk_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Connected components over near-duplicate pairs: every document
@@ -570,8 +577,16 @@ object Dedup {
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
 
+    // pair dedup AFTER the exact-cosine verify, not before: a true pair
+    // collides in most of the bands by design, so the raw candidate
+    // stream carries each pair ~bands times — deduping first shuffles the
+    // whole multi-band candidate stream, while the cosine check is a few
+    // dozen codegen'd FMAs per row. Verify the duplicated stream map-side
+    // (embeddings attach via broadcast-size joins) and dedup only the
+    // VERIFIED pairs — the exchange then carries output-proportional
+    // rows. Identical result set: cosine is deterministic, so duplicate
+    // candidates produce identical verified rows.
     cand
       .join(base.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
       .join(base.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
@@ -579,5 +594,6 @@ object Dedup {
         col("vec_a"), col("vec_b"),
         Similarity.cosine(col("emb_a"), col("emb_b")).as("cosine"))
       .where(col("cosine") >= threshold)
+      .dropDuplicates("vec_a", "vec_b")
   }
 }

@@ -11,6 +11,41 @@ import graft.functions._
   */
 class Expr2Spec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+
+  test("WordShingles equals the HOF shingle formulation, element for element") {
+    import spark.implicits._
+    // edge cases: empty text, single word, exactly k words, trailing /
+    // doubled spaces (split keeps empty tokens), unicode, repeats
+    val texts = Seq(
+      "", " ", "a", "a b", "a b c", "a b c d e",
+      "a  b c", "a b c ", " a b c", "x x x x x",
+      "héllo wörld ünïcode σπαρκ δοκ", "tab	word stays one-token")
+      .toDF("text")
+    val k = 3
+    val words = split(col("text"), " ")
+    val hof = array_distinct(transform(
+      sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
+      i => array_join(slice(words, i, lit(k)), " ")))
+    val rows = texts.select(
+      graft.ops.Dedup.shingles(col("text"), k).as("native"), hof.as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+    }
+    // and on the real corpus: every document, both k=2 and k=3
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq(2, 3).foreach { kk =>
+      val w2 = split(col("text"), " ")
+      val h2 = array_distinct(transform(
+        sequence(lit(1), greatest(size(w2) - (kk - 1), lit(1))),
+        i => array_join(slice(w2, i, lit(kk)), " ")))
+      val bad = docs.select(
+        graft.ops.Dedup.shingles(col("text"), kk).as("n"), h2.as("h"))
+        .where(not(col("n") <=> col("h"))).count()
+      assert(bad == 0L, s"k=$kk: $bad docs differ")
+    }
+  }
   import spark.implicits._
 
   test("graft_encode_str/graft_decode_str round-trip all string shapes") {
