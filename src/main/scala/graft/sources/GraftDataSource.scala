@@ -260,7 +260,12 @@ class GraftSparkTable(tableDir: String, provided: StructType) extends Table
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(snapOpt.exists(GenericTable.isGeneric),
       s"DELETE FROM is supported on generic graft tables only ($tableDir is token-lane)")
-    val pred = filters.toSeq.flatMap(GraftDataSource.filterColumn)
+    // strict translation: Spark gates on canDeleteWhere first, but if a
+    // future call path skipped that gate, a silently-dropped filter here
+    // would delete a SUPERSET of the requested rows — fail loud instead
+    val pred = filters.toSeq.map(f =>
+        GraftDataSource.filterColumn(f).getOrElse(throw new IllegalArgumentException(
+          s"DELETE filter does not translate: $f")))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     GenericTable.deleteWhere(SparkSession.active, tableDir, pred)

@@ -31,8 +31,9 @@ import graft.table.GraftTable.{EncodeResult, Options, Snapshot}
   * parallel per-field legs (fields may themselves be arrays/structs/
   * maps), array-of-map into key/value array-of-array legs. The only
   * rejected shapes — loud at plan time, never a silent drop — are
-  * map-typed map KEYS (no total equality; Spark rejects them too),
-  * binary inside an array, and empty structs.
+  * map-typed map KEYS (no total equality; Spark rejects them too) and
+  * empty structs (binary at any position, including inside arrays, is
+  * supported via the bin/arr_bin kinds).
   *
   * Shares the token table's scale machinery: hash-strided sampled range
   * bounds ([[GraftTable.computeBounds]] — distributed, layout-independent),
