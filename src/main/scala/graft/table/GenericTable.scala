@@ -459,6 +459,11 @@ object GenericTable {
         snap.contentSig, complete = true)
     }
 
+    // sample-budget-bounded inputs: cache the keyed frame across the
+    // bounds sample scan and the encode exchange (see GraftTable.encode)
+    val keyedCached = rows * math.max(1, leaves.length) <= opts.sampleRows
+    if (keyedCached) keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val (bounds, boundsDir): (Array[Long], Option[String]) = parent match {
       case Some(p) => (GraftTable.loadBounds(spark, tableDir, p), p.boundsDir)
       case None =>
@@ -538,6 +543,7 @@ object GenericTable {
     GraftTable.commitPointer(spark, tableDir, ver)
     EncodeResult(ver, snapshotId, numBlocks, newBlocks, blocksDone,
       tot.getLong(1), 0L, tot.getLong(2), tot.getLong(3), contentSig, complete)
+    } finally if (keyedCached) { keyed.unpersist(false); () }
   }
 
   /** Append a batch to a generic table, with Iceberg-style schema

@@ -181,6 +181,16 @@ object GraftTable {
     }
     val ver = cur.map(_.version).getOrElse(0) + 1
 
+    // sample-budget-bounded inputs (≲ sampleRows tokens, a few MB): keep
+    // the keyed frame cached across the bounds sample scan and the encode
+    // exchange instead of re-running the tokenize/key projection per
+    // pass. The gate is data-determined and scale-safe — big inputs skip
+    // it and behave exactly as before.
+    val keyedCached = stats.tokensTotal <= opts.sampleRows &&
+      stats.rows <= opts.sampleRows
+    if (keyedCached) keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+
     // bounds: reuse the parent's bounds file on resume, else compute
     // distributed (Ranks — no single-partition sort) and persist to a
     // file the snapshot references. Small tables ship the flat array as
@@ -357,6 +367,7 @@ object GraftTable {
     EncodeResult(ver, snapshotId, numBlocks, newBlocks, blocksDone,
       tot.getLong(1), tot.getLong(2), tot.getLong(3), tot.getLong(4),
       contentSig, complete)
+    } finally if (keyedCached) { keyed.unpersist(false); () }
   }
 
   /** `stream_*` snapshot metadata (the streaming sink's exactly-once
