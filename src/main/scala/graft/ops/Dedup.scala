@@ -411,7 +411,10 @@ object Dedup {
     * Edges are restricted to endpoints present in `docs` (a pair id
     * absent from docs can neither appear in the output nor win a
     * min-label — it would otherwise mark a whole real cluster
-    * non-canonical).
+    * non-canonical). Consequence: connectivity THROUGH an
+    * out-of-universe intermediate is not propagated either — compute
+    * `pairs` over the same document universe you cluster (every caller
+    * in this codebase does), or pre-contract ghost vertices yourself.
     *
     * Returns one row per INPUT document: (doc_id, cluster_id,
     * cluster_size, is_canonical); unpaired documents are singleton
@@ -572,21 +575,20 @@ object Dedup {
 
     val a = capped.alias("a")
     val b = capped.alias("b")
+    // dedup BEFORE the verification joins, deliberately: the verify step
+    // attaches the (potentially multi-KB) embedding payloads, and at
+    // non-broadcastable scale those joins shuffle — deduping the id-only
+    // candidate stream first ships each embedding once per pair, never
+    // once per colliding band. (simHash takes the opposite order because
+    // its band rows already carry the whole 8-byte sketch — no payload
+    // join exists to amplify.)
     val cand = a.join(b,
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
 
-    // pair dedup AFTER the exact-cosine verify, not before: a true pair
-    // collides in most of the bands by design, so the raw candidate
-    // stream carries each pair ~bands times — deduping first shuffles the
-    // whole multi-band candidate stream, while the cosine check is a few
-    // dozen codegen'd FMAs per row. Verify the duplicated stream map-side
-    // (embeddings attach via broadcast-size joins) and dedup only the
-    // VERIFIED pairs — the exchange then carries output-proportional
-    // rows. Identical result set: cosine is deterministic, so duplicate
-    // candidates produce identical verified rows.
     cand
       .join(base.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
       .join(base.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
@@ -594,6 +596,5 @@ object Dedup {
         col("vec_a"), col("vec_b"),
         Similarity.cosine(col("emb_a"), col("emb_b")).as("cosine"))
       .where(col("cosine") >= threshold)
-      .dropDuplicates("vec_a", "vec_b")
   }
 }

@@ -501,9 +501,9 @@ object GenericTable {
     // (the manifest aggregate reads every payload byte for block_sig)
     val manifest = manifestOf(spark, s"$tableDir/$dataDir", leaves.length)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val newBlocks = timed("manifest-count")(manifest.count())
     if (newBlocks == 0 && parent.nonEmpty) {
-      manifest.unpersist(false)
       GraftTable.delete(spark, s"$tableDir/$dataDir")
       val p = parent.get
       return EncodeResult(p.version, p.snapshotId, p.numBlocks, 0L,
@@ -513,7 +513,6 @@ object GenericTable {
     val manifestDir = s"manifests/v$ver"
     timed("manifest-write")(
       manifest.write.mode("overwrite").json(s"$tableDir/$manifestDir"))
-    manifest.unpersist(false)
 
     val manifestDirs = parent.map(_.manifestDirs).getOrElse(Nil) :+ manifestDir
     val dataDirs = parent.map(_.dataDirs).getOrElse(Nil) :+ dataDir
@@ -543,6 +542,7 @@ object GenericTable {
     GraftTable.commitPointer(spark, tableDir, ver)
     EncodeResult(ver, snapshotId, numBlocks, newBlocks, blocksDone,
       tot.getLong(1), 0L, tot.getLong(2), tot.getLong(3), contentSig, complete)
+    } finally { manifest.unpersist(false); () }
     } finally if (keyedCached) { keyed.unpersist(false); () }
   }
 
@@ -1115,11 +1115,7 @@ object GenericTable {
     if (snap.manifestDirs.isEmpty) return snap.dataDirs
     // explicit schema: the span prune touches three fields — skip the
     // manifest JSON schema-inference pass
-    val spanSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("ver", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("key_min", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("key_max", org.apache.spark.sql.types.LongType)))
-    val spans = spark.read.schema(spanSchema)
+    val spans = spark.read.schema(GraftTable.manifestSpanSchema)
       .json(snap.manifestDirs.map(d => s"$tableDir/$d"): _*)
       .groupBy(col("ver").cast("int").as("v"))
       .agg(min(col("key_min").cast("long")).as("kmin"),

@@ -285,11 +285,10 @@ object GraftTable {
     // re-aggregating the written blocks twice
     val manifest = manifestOf(spark, s"$tableDir/$dataDir")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
+    try {
     val newBlocks = timed("manifest-count")(manifest.count())
     if (newBlocks == 0 && parent.nonEmpty) {
       // nothing to do: drop the empty version dir, current snapshot stands
-      manifest.unpersist(false)
       delete(spark, s"$tableDir/$dataDir")
       val p = parent.get
       return EncodeResult(p.version, p.snapshotId, p.numBlocks, 0L,
@@ -299,7 +298,6 @@ object GraftTable {
     if (newBlocks == 0) {
       // empty input, no parent: commit an empty (complete) snapshot —
       // spark.read.json cannot infer a schema from a rowless manifest dir
-      manifest.unpersist(false)
       delete(spark, s"$tableDir/$dataDir")
       val snapshotId = Hashing.sha256Hex(
         s"v$ver;parent=none;fp=${stats.fingerprint};empty")
@@ -317,7 +315,6 @@ object GraftTable {
 
     val manifestDir = s"manifests/v$ver"
     timed("manifest-write")(manifest.write.mode("overwrite").json(s"$tableDir/$manifestDir"))
-    manifest.unpersist(false)
 
     val manifestDirs = parent.map(_.manifestDirs).getOrElse(Nil) :+ manifestDir
     val dataDirs = parent.map(_.dataDirs).getOrElse(Nil) :+ dataDir
@@ -367,6 +364,7 @@ object GraftTable {
     EncodeResult(ver, snapshotId, numBlocks, newBlocks, blocksDone,
       tot.getLong(1), tot.getLong(2), tot.getLong(3), tot.getLong(4),
       contentSig, complete)
+    } finally { manifest.unpersist(false); () }
     } finally if (keyedCached) { keyed.unpersist(false); () }
   }
 
@@ -397,6 +395,12 @@ object GraftTable {
       spark: SparkSession, tableDir: String, manifestDirs: Seq[String]): DataFrame =
     spark.read.schema(manifestTotalsSchema)
       .json(manifestDirs.map(d => s"$tableDir/$d"): _*)
+
+  /** Key-span projection for version pruning (same pinned-schema idiom). */
+  private[graft] val manifestSpanSchema = StructType(Seq(
+    StructField("ver", LongType),
+    StructField("key_min", LongType),
+    StructField("key_max", LongType)))
 
   /** Range-block bounds from a hash-strided key sample. Properties a plain
     * `df.sample(seed)` + approxQuantile would NOT give:
@@ -437,8 +441,16 @@ object GraftTable {
     // The gate is the expected sample count, bounded by the sample budget;
     // big tables (or numBlocks-dominated budgets) take the distributed
     // path below exactly as before.
+    // the stride filter selects by VALUE, so duplicate-heavy keys can
+    // make the ACTUAL sample far exceed rows/stride (every duplicate of
+    // a selected value passes) — gate on an exact count of the sample
+    // before collecting it, so the driver never materializes an
+    // unboundedly-skewed sample (the count is one cheap column-pruned
+    // job; the fast path still replaces the 3-4 jobs of the distributed
+    // rank machinery with 2)
     val expectedSample = rows / stride
-    if (expectedSample <= SmallBoundsSampleMax) {
+    if (expectedSample <= SmallBoundsSampleMax &&
+        s.count() <= SmallBoundsSampleMax) {
       val ks = s.collect().map(_.getLong(0)).sorted
       val cnt = ks.length.toLong
       if (cnt < numBlocks) return Array.empty

@@ -87,6 +87,17 @@ class BoundsSpec extends AnyFunSuite {
         assert(fast.nonEmpty, s"trial $trial produced no bounds")
       } finally System.clearProperty("graft.bounds.smallSampleMax")
     }
+    // duplicate-heavy keys: the stride filter selects whole VALUE groups,
+    // so the actual sample can far exceed rows/stride — the count gate
+    // must keep both paths equal (and the driver safe) here too
+    val dupHeavy = Array.tabulate(6000)(i => (i % 5).toLong)
+      .toIndexedSeq.toDF("_graft_key")
+    val fastDup = GraftTable.computeBounds(dupHeavy, 6000, 64, 1L << 20)
+    System.setProperty("graft.bounds.smallSampleMax", "0")
+    try {
+      val distDup = GraftTable.computeBounds(dupHeavy, 6000, 64, 1L << 20)
+      assert(fastDup.sameElements(distDup))
+    } finally System.clearProperty("graft.bounds.smallSampleMax")
   }
 
   test("Ranks.withRank handles empty input") {
