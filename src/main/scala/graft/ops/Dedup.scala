@@ -448,20 +448,34 @@ object Dedup {
     // plan). Checkpoint blocks are executor-local (the standard iterative
     // graph-algorithm trade: a lost executor fails the job and the
     // caller reruns); the ContextCleaner reclaims old generations.
-    var labels = edges.select(col("v")).distinct()
-      .withColumn("lbl", col("v"))
-      .localCheckpoint(true)
+    //
+    // Round 1 needs no materialized seed and no edge join: the identity
+    // labelling makes `viaEdges` just the edge list itself, and the
+    // min/max aggregate absorbs duplicate self rows (min(lbl) is
+    // unaffected, max(prev) still recovers v) — so the first generation
+    // builds straight off the persisted edges, saving the seed
+    // checkpoint action and an identity join while producing the exact
+    // label sequence the seeded formulation would.
+    var labels: DataFrame = null
     var iter = 0
-    var converged = labels.isEmpty // no edges → nothing to propagate
+    var converged = edges.isEmpty // no edges → nothing to propagate
     while (!converged && iter < maxIters) {
       // neighbor min: lbl(v) <- min over N(v) + self; `prev` (the
-      // incoming label) rides the same aggregate — exactly one self row
-      // per v carries it, so max() recovers it without an extra join
-      val viaEdges = edges
-        .join(labels.select(col("v").as("w"), col("lbl")), "w")
-        .select(col("v"), col("lbl"), lit(null).cast("string").as("prev"))
-      val m1 = labels.select(col("v"), col("lbl"), col("lbl").as("prev"))
-        .unionAll(viaEdges)
+      // incoming label) rides the same aggregate — the self row(s)
+      // carry it, so max() recovers it without an extra join
+      val m1src =
+        if (labels == null)
+          edges.select(col("v"), col("w").as("lbl"),
+              lit(null).cast("string").as("prev"))
+            .unionAll(edges.select(col("v"), col("v").as("lbl"),
+              col("v").as("prev")))
+        else
+          labels.select(col("v"), col("lbl"), col("lbl").as("prev"))
+            .unionAll(edges
+              .join(labels.select(col("v").as("w"), col("lbl")), "w")
+              .select(col("v"), col("lbl"),
+                lit(null).cast("string").as("prev")))
+      val m1 = m1src
         .groupBy("v")
         .agg(min(idMin(col("lbl"))).as("m"), max(col("prev")).as("prev"))
         .select(col("v"), col("m.s").as("lbl"), col("prev"))
@@ -487,6 +501,9 @@ object Dedup {
     // sizes over PAIRED vertices only; singletons are size-1 clusters of
     // themselves by construction (their label can never change) and skip
     // the groupBy/join entirely — O(paired) shuffle, not O(docs)
+    if (labels == null) // no edges: every input doc is a singleton
+      return ids.select(col("v").as("doc_id"), col("v").as("cluster_id"),
+        lit(1L).as("cluster_size"), lit(true).as("is_canonical"))
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     val clustered = labels.join(sizes, "lbl")
       .select(col("v").as("doc_id"), col("lbl").as("cluster_id"),

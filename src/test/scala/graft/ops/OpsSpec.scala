@@ -167,10 +167,10 @@ class OpsSpec extends AnyFunSuite {
       val empties = byName.getOrDefault("isEmpty", 0)
       val counts = byName.getOrDefault("count", 0)
       // diameter 4 ⇒ ≥2 propagation rounds + 1 confirming round, each ONE
-      // checkpoint action; plus the initial seed checkpoint ⇒ ≥4. The only
-      // isEmpty is the one up-front no-edges guard; no per-round count()
-      // fallback fired.
-      assert(checkpoints >= 4, byName.toString)
+      // checkpoint action (round 1 builds straight off the edges — no
+      // seed checkpoint). The only isEmpty is the up-front no-edges
+      // guard; no per-round count() fallback fired.
+      assert(checkpoints >= 3, byName.toString)
       assert(empties <= 1, byName.toString)
       assert(counts == 0, byName.toString)
     } finally {
