@@ -46,17 +46,24 @@ object Tokenize {
     * one vocab-sized result set.
     */
   def vocabEntries(docs: DataFrame): Array[VocabEntry] = {
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val words = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    val (ranked, _, release) = Ranks.withRank(words, col("word"), "_rn", parallelism * 2)
-    try ranked
-      .select((col("_rn") - 1L).as("token_id"), col("word"), col("cnt"))
-      .collect()
-      .map(r => VocabEntry(r.getLong(0), r.getString(1), r.getLong(2)))
-      .sortBy(_.token_id)
-    finally release()
+    // the whole vocab is collected either way (tokenizer vocabs are
+    // ≤ ~1M entries by design — the array IS what the broadcast lookup
+    // ships), so rank assignment happens on the driver after ONE job
+    // instead of the distributed rank machinery's three. The sort
+    // replicates Spark's string ordering exactly: UTF8String compares
+    // UTF-8 BYTES unsigned, not UTF-16 code units, so ids stay identical
+    // for non-ASCII vocabularies too.
+    val rows = words.collect()
+      .map(r => (r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        r.getString(0), r.getLong(1)))
+    java.util.Arrays.sort(rows, (a: (Array[Byte], String, Long), b: (Array[Byte], String, Long)) =>
+      java.util.Arrays.compareUnsigned(a._1, b._1))
+    rows.iterator.zipWithIndex
+      .map { case ((_, w, cnt), i) => VocabEntry(i.toLong, w, cnt) }
+      .toArray
   }
 
   /** (token_id, word, cnt) as a DataFrame (q_vocab / catalog surface). */

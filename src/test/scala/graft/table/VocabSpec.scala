@@ -26,6 +26,29 @@ class VocabSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text", "source")
   }
 
+  test("vocab ids follow Spark's UTF-8 binary string order (non-ASCII too)") {
+    // the driver-side rank assignment must sort exactly like Spark's
+    // UTF8String (unsigned UTF-8 bytes), not like String.compareTo
+    // (UTF-16 code units): for supplementary characters the two orders
+    // DIFFER — \uFFFD (bytes EF BF BD) sorts before U+10000 (F0 90 80 80)
+    // in byte order but AFTER it in UTF-16 order (surrogate D800 < FFFD)
+    val sup = new String(Character.toChars(0x10000))
+    val tricky = Seq(("1", s"zeta � $sup alpha ümlaut", "s"))
+      .toDF("doc_id", "text", "source")
+    val entries = Tokenize.vocabEntries(tricky)
+    val byId = entries.sortBy(_.token_id).map(_.word)
+    // oracle: Spark's own ordering of the same distinct words
+    val sparkOrder = tricky
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .orderBy("w").collect().map(_.getString(0))
+    assert(byId.sameElements(sparkOrder),
+      s"ids=${byId.mkString(",")} spark=${sparkOrder.mkString(",")}")
+    // and String.compareTo would have produced a DIFFERENT order here,
+    // so the test actually discriminates
+    assert(!byId.sameElements(byId.sorted(Ordering.String)) ||
+      byId.sameElements(sparkOrder))
+  }
+
   test("100k-word vocab: distributed ids equal sorted rank") {
     val entries = Tokenize.vocabEntries(bigDocs)
     assert(entries.length == docsPerRun * wordsPerDoc)
