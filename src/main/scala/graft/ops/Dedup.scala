@@ -421,6 +421,12 @@ object Dedup {
     * clusters of themselves. The edge/id frames are persisted — call
     * [[releaseCaches]] after materializing; label generations are eagerly
     * checkpointed and reclaimed by the ContextCleaner.
+    *
+    * When the directed edge list is small enough to collect
+    * (≤ [[ClustersDriverEdgeMax]] rows), an exact driver-side union-find
+    * replaces the propagation rounds with the same labels — see
+    * [[driverClusters]]; larger edge lists take the iterative path
+    * below unchanged.
     */
   def clusters(pairs: DataFrame, docs: DataFrame, maxIters: Int = 25): DataFrame = {
     val idMin = (c: Column) => struct(length(c).as("l"), c.as("s"))
@@ -458,7 +464,21 @@ object Dedup {
     // label sequence the seeded formulation would.
     var labels: DataFrame = null
     var iter = 0
-    var converged = edges.isEmpty // no edges → nothing to propagate
+    // Size-gated driver fast path: when the whole directed edge list fits
+    // a driver budget, exact union-find replaces the propagation rounds —
+    // zero per-round shuffle stages (each of which is a straggler
+    // opportunity on a contended host). The count doubles as the no-edge
+    // guard and materializes the persisted edges, which the first
+    // checkpoint round would have done anyway; beyond the gate the
+    // distributed path runs unchanged.
+    val gate = ClustersDriverEdgeMax
+    var converged =
+      if (gate > 0L) {
+        val directed = edges.count()
+        if (directed > 0L && directed <= gate)
+          return driverClusters(docs.sparkSession, edges.collect(), ids)
+        directed == 0L
+      } else edges.isEmpty // no edges → nothing to propagate
     while (!converged && iter < maxIters) {
       // neighbor min: lbl(v) <- min over N(v) + self; `prev` (the
       // incoming label) rides the same aggregate — the self row(s)
@@ -509,6 +529,87 @@ object Dedup {
       .select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
         col("cluster_size"), (col("v") === col("lbl")).as("is_canonical"))
     val singles = ids.join(labels.select(col("v")), Seq("v"), "left_anti")
+      .select(col("v").as("doc_id"), col("v").as("cluster_id"),
+        lit(1L).as("cluster_size"), lit(true).as("is_canonical"))
+    clustered.unionAll(singles)
+  }
+
+  /** Max directed-edge rows for [[clusters]]' driver-side union-find path
+    * (default 2^20 ≈ 1M rows of short ids, tens of MB — the same order as
+    * the edge frame each propagation round would shuffle, so no new
+    * driver-memory class). Overridable for tests via the
+    * graft.clusters.driverEdgeMax system property; 0 disables the fast
+    * path entirely.
+    */
+  private[ops] def ClustersDriverEdgeMax: Long =
+    sys.props.get("graft.clusters.driverEdgeMax").map(_.toLong).getOrElse(1L << 20)
+
+  /** Driver-side exact connected components for edge lists small enough
+    * to collect (≤ [[ClustersDriverEdgeMax]] directed rows). Union-find
+    * with path halving replaces the propagation rounds entirely: no
+    * per-round shuffles, checkpoints, or convergence actions. The label
+    * rule is replicated exactly: cluster id = min member under
+    * (length, lexicographic) where length is Spark's length() (code
+    * points, not UTF-16 units) and the tiebreak compares UTF-8 BYTES
+    * unsigned — UTF8String order, identical for non-ASCII ids too.
+    * `edgeRows` is the mirrored (both directions) edge list already
+    * restricted to endpoints present in docs; `ids` is the distinct
+    * doc_id frame singletons rejoin from.
+    */
+  private def driverClusters(
+      spark: SparkSession,
+      edgeRows: Array[org.apache.spark.sql.Row],
+      ids: DataFrame): DataFrame = {
+    val index = new java.util.HashMap[String, Integer]()
+    val names = new scala.collection.mutable.ArrayBuffer[String]()
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    def vid(s: String): Int = {
+      val got = index.get(s)
+      if (got != null) got.intValue()
+      else {
+        val i = names.length
+        index.put(s, i); names += s; parent += i; i
+      }
+    }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edgeRows.foreach { r =>
+      val a = find(vid(r.getString(0)))
+      val b = find(vid(r.getString(1)))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val n = names.length
+    val utf8 = names.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val nchars = names.map(s => s.codePointCount(0, s.length))
+    def less(a: Int, b: Int): Boolean =
+      if (nchars(a) != nchars(b)) nchars(a) < nchars(b)
+      else java.util.Arrays.compareUnsigned(utf8(a), utf8(b)) < 0
+    val minOf = Array.fill(n)(-1)
+    val sizeOf = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = find(i)
+      sizeOf(r) += 1L
+      if (minOf(r) < 0 || less(i, minOf(r))) minOf(r) = i
+      i += 1
+    }
+    val out = new Array[(String, String, Long, Boolean)](n)
+    i = 0
+    while (i < n) {
+      val r = find(i)
+      out(i) = (names(i), names(minOf(r)), sizeOf(r), i == minOf(r))
+      i += 1
+    }
+    val clustered = spark.createDataFrame(out.toIndexedSeq)
+      .toDF("doc_id", "cluster_id", "cluster_size", "is_canonical")
+    val singles = ids
+      .join(clustered.select(col("doc_id").as("v")), Seq("v"), "left_anti")
       .select(col("v").as("doc_id"), col("v").as("cluster_id"),
         lit(1L).as("cluster_size"), lit(true).as("is_canonical"))
     clustered.unionAll(singles)

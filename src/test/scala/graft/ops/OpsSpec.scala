@@ -150,6 +150,9 @@ class OpsSpec extends AnyFunSuite {
     val path = Seq(("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5"))
       .toDF("doc_a", "doc_b")
     val pdocs = Seq("p1", "p2", "p3", "p4", "p5").toDF("doc_id")
+    // force the ITERATIVE path (a 4-edge graph would otherwise take the
+    // driver union-find fast path, which has no rounds to account)
+    System.setProperty("graft.clusters.driverEdgeMax", "0")
     spark.listenerManager.register(lsn)
     try {
       val out = Dedup.clusters(path, pdocs).collect()
@@ -174,9 +177,41 @@ class OpsSpec extends AnyFunSuite {
       assert(empties <= 1, byName.toString)
       assert(counts == 0, byName.toString)
     } finally {
+      System.clearProperty("graft.clusters.driverEdgeMax")
       spark.listenerManager.unregister(lsn)
       Dedup.releaseCaches(blocking = true)
     }
+  }
+
+  test("clusters: driver union-find path equals the distributed propagation path") {
+    // randomized graph with ids whose (length, lex) order differs from
+    // plain lex ("10" vs "2") AND whose UTF-8 byte order differs from
+    // UTF-16 order (U+10000 '𐀀' sorts after U+FFFD in UTF-8
+    // but before it in UTF-16) — the driver path must replicate Spark's
+    // min(struct(length(id), id)) exactly. Includes duplicate pairs,
+    // self-pairs, ghost endpoints, and singleton docs.
+    val supp = new String(Character.toChars(0x10000))
+    val rng = new scala.util.Random(42)
+    val vs = (0 until 120).map(_.toString) ++ Seq(supp, "�", "a", "aa")
+    val edges = (0 until 180).map { _ =>
+      (vs(rng.nextInt(vs.length)), vs(rng.nextInt(vs.length)))
+    } ++ Seq(("7", "7"), ("3", "11"), ("3", "11"), ("ghost", "5"),
+      (supp, "�"))
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val ds = (vs ++ Seq("lonely", "solo")).toDF("doc_id")
+    def run(): Map[String, (String, Long, Boolean)] = {
+      val m = Dedup.clusters(pairs, ds).collect()
+        .map(r => r.getString(0) ->
+          ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+      Dedup.releaseCaches(blocking = true)
+      m
+    }
+    val driver = run() // default gate: 4-figure edge list takes the driver path
+    System.setProperty("graft.clusters.driverEdgeMax", "0")
+    val distributed = try run()
+    finally System.clearProperty("graft.clusters.driverEdgeMax")
+    assert(driver.size == ds.count())
+    assert(driver == distributed)
   }
 
   test("cap skips are logged + recorded; releaseCaches clears shingle caches") {
