@@ -105,17 +105,9 @@ object Stats {
     val avgTok = if (rows == 0) 1.0 else math.max(1.0, tokensTotal0.toDouble / rows)
     val rowBudget = math.max(1L, (sampleRows.toDouble / avgTok).toLong)
     val stride = math.max(1L, rows / rowBudget)
-    // the sample feeds TWO jobs (exploded HLL + adjacency) — persist it so
-    // the full input is scanned once, not once per job. At stride == 1 the
-    // WHOLE input is the sample, but that case is size-bounded by
-    // construction (stride == 1 ⟺ total tokens ≲ sampleRows), so
-    // persisting is safe at any scale and saves the second full scan.
-    val doPersist = true
     val sample =
-      (if (stride <= 1L) keyed
-       else keyed.where(pmod(xxhash64(col("doc_id")), lit(stride)) === 0))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+      if (stride <= 1L) keyed
+      else keyed.where(pmod(xxhash64(col("doc_id")), lit(stride)) === 0)
 
     // adjacent-repeat pairs per row: zip tokens with its own 1-shift
     val adjPairs = aggregate(
@@ -125,20 +117,29 @@ object Stats {
         (a, b) => when(a === b, 1L).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
 
+    // Both sampled stats in ONE job and one scan: posexplode feeds the
+    // token-distinct sketch, and the adjacency sums ride the pos==0 row
+    // of each document (evaluated once per row exactly as a dedicated
+    // pass would — rows with empty token arrays are dropped by the
+    // explode but contribute 0 pairs by definition). Aggregation values
+    // are order-independent (HLL merge, sums), so the result is
+    // identical to the former two-job formulation at any layout — and
+    // with a single consumer the sample no longer needs a persist.
     // rsd 0.05 (HLL default): the only consumer is the dict-cap gate
-    // (65536), where ±5% is ample — rsd 0.01 costs ~3× per update
-    val tokDistinct = timed("stats-tokdistinct")(sample
-      .select(explode(col("tokens")).as("t"))
-      .agg(approx_count_distinct(col("t"), 0.05))
-      .head().getLong(0))
-
-    val adj = timed("stats-adj")(sample.agg(
-      sum(adjPairs).as("adj"),
-      sum(greatest(col("n_tok").cast("long") - 1L, lit(0L))).as("pairs"))
+    // (65536), where ±5% is ample — rsd 0.01 costs ~3× per update.
+    val srow = timed("stats-sample")(sample
+      .select(col("tokens"), col("n_tok"), posexplode(col("tokens")))
+      .agg(
+        approx_count_distinct(col("col"), 0.05).as("td"),
+        sum(when(col("pos") === 0, adjPairs).otherwise(lit(0L))).as("adj"),
+        sum(when(col("pos") === 0,
+          greatest(col("n_tok").cast("long") - 1L, lit(0L)))
+          .otherwise(lit(0L))).as("pairs"))
       .head())
+    val tokDistinct = srow.getLong(0)
     val adjFrac =
-      if (adj.isNullAt(1) || adj.getLong(1) == 0L) 0.0
-      else adj.getLong(0).toDouble / adj.getLong(1)
+      if (srow.isNullAt(2) || srow.getLong(2) == 0L) 0.0
+      else srow.getLong(1).toDouble / srow.getLong(2)
 
     val fpXor = if (full.isNullAt(10)) 0L else full.getLong(10)
     val fingerprint = Hashing.sha256Hex(
@@ -160,6 +161,5 @@ object Stats {
       nTokMax = if (full.isNullAt(8)) 0 else full.getInt(8),
       sourceDistinct = full.getLong(9),
       fingerprint = fingerprint)
-    } finally if (doPersist) { sample.unpersist(false); () }
   }
 }
