@@ -516,7 +516,10 @@ object GenericTable {
 
     val manifestDirs = parent.map(_.manifestDirs).getOrElse(Nil) :+ manifestDir
     val dataDirs = parent.map(_.dataDirs).getOrElse(Nil) :+ dataDir
-    val all = GraftTable.readManifestTotals(spark, tableDir, manifestDirs)
+    // the new version's totals come from the still-persisted manifest
+    // frame; only pre-existing manifest dirs are read back from JSON
+    val all = GraftTable.manifestTotalsWithFresh(
+      spark, tableDir, parent.map(_.manifestDirs).getOrElse(Nil), manifest)
     val tot = timed("totals")(all.agg(
       count(lit(1)).as("blocks"),
       sum("row_count").as("rows"),
@@ -612,20 +615,24 @@ object GenericTable {
 
     val dataDir = writeBlocksVersion(withBlocks, tableDir, ver, leaves, newNumBlocks, rows)
     val manifestDir = s"manifests/v$ver"
-    manifestOf(spark, s"$tableDir/$dataDir", leaves.length)
-      .write.mode("overwrite").json(s"$tableDir/$manifestDir")
-
+    // persisted across the JSON write and the totals aggregate: one pass
+    // over the written blocks, and totals never re-read this version
+    val manifest = manifestOf(spark, s"$tableDir/$dataDir", leaves.length)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val manifestDirs = parent.manifestDirs :+ manifestDir
     val dataDirs = parent.dataDirs :+ dataDir
     // cross-version totals: manifests of evolved versions differ in their
     // codec_i columns, but the accounting columns are common to all
-    val all = GraftTable.readManifestTotals(spark, tableDir, manifestDirs)
-    val tot = all.agg(
-      count(lit(1)).as("blocks"),
-      sum("row_count").as("rows"),
-      sum("bytes_total").as("bytes"),
-      sum("plain_bytes").as("plain"),
-      expr("bit_xor(block_sig)").as("sig")).head()
+    val tot = try {
+      manifest.write.mode("overwrite").json(s"$tableDir/$manifestDir")
+      GraftTable.manifestTotalsWithFresh(spark, tableDir, parent.manifestDirs, manifest)
+        .agg(
+          count(lit(1)).as("blocks"),
+          sum("row_count").as("rows"),
+          sum("bytes_total").as("bytes"),
+          sum("plain_bytes").as("plain"),
+          expr("bit_xor(block_sig)").as("sig")).head()
+    } finally { manifest.unpersist(false); () }
     val blocksDone = tot.getLong(0)
     val contentSig = f"${tot.getLong(4)}%016x"
     val numBlocks = parent.numBlocks + newNumBlocks
@@ -727,8 +734,8 @@ object GenericTable {
     try {
       val nRows = keyed.count()
       val ver = p.version + 1
-      val (dataDirs, manifestDirs, newBlocks) =
-        if (nRows == 0) (keepData, keepMan, 0L)
+      val (dataDirs, manifestDirs, newBlocks, freshMan) =
+        if (nRows == 0) (keepData, keepMan, 0L, None)
         else {
           val bounds = GraftTable.computeBounds(
             keyed, nRows, opts.targetRowsPerBlock, opts.sampleRows)
@@ -738,20 +745,27 @@ object GenericTable {
           val dataDir = writeBlocksVersion(
             withBlocks, tableDir, ver, leaves, bounds.length + 1, nRows)
           val manifestDir = s"manifests/v$ver"
-          manifestOf(spark, s"$tableDir/$dataDir", leaves.length)
-            .write.mode("overwrite").json(s"$tableDir/$manifestDir")
-          (keepData :+ dataDir, keepMan :+ manifestDir, bounds.length + 1L)
+          // persisted across the JSON write and the totals aggregate
+          val mf = manifestOf(spark, s"$tableDir/$dataDir", leaves.length)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          mf.write.mode("overwrite").json(s"$tableDir/$manifestDir")
+          (keepData :+ dataDir, keepMan :+ manifestDir, bounds.length + 1L, Some(mf))
         }
-      val tot =
+      val tot = try {
         if (manifestDirs.isEmpty) (0L, 0L, 0L, 0L, 0L)
         else {
-          val all = GraftTable.readManifestTotals(spark, tableDir, manifestDirs)
+          val all = freshMan match {
+            case Some(mf) =>
+              GraftTable.manifestTotalsWithFresh(spark, tableDir, keepMan, mf)
+            case None => GraftTable.readManifestTotals(spark, tableDir, manifestDirs)
+          }
           val t = all.agg(
             count(lit(1)).as("blocks"), sum("row_count").as("rows"),
             sum("bytes_total").as("bytes"), sum("plain_bytes").as("plain"),
             expr("bit_xor(block_sig)").as("sig")).head()
           (t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3), t.getLong(4))
         }
+      } finally freshMan.foreach(_.unpersist(false))
       val contentSig = f"${tot._5}%016x"
       val combinedFp = Hashing.sha256Hex(s"${p.inputFingerprint};$opName=v$ver")
       val statsFields = (Map(

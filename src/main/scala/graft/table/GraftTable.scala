@@ -319,8 +319,11 @@ object GraftTable {
     val manifestDirs = parent.map(_.manifestDirs).getOrElse(Nil) :+ manifestDir
     val dataDirs = parent.map(_.dataDirs).getOrElse(Nil) :+ dataDir
 
-    // snapshot totals over ALL live manifests: O(1) driver state
-    val all = readManifestTotals(spark, tableDir, manifestDirs)
+    // snapshot totals over ALL live manifests: O(1) driver state; the new
+    // version comes from the still-persisted manifest frame, so only
+    // pre-existing manifest dirs are read back from JSON
+    val all = manifestTotalsWithFresh(
+      spark, tableDir, parent.map(_.manifestDirs).getOrElse(Nil), manifest)
     val tot = timed("totals")(all.agg(
       count(lit(1)).as("blocks"),
       sum("row_count").as("rows"),
@@ -395,6 +398,25 @@ object GraftTable {
       spark: SparkSession, tableDir: String, manifestDirs: Seq[String]): DataFrame =
     spark.read.schema(manifestTotalsSchema)
       .json(manifestDirs.map(d => s"$tableDir/$d"): _*)
+
+  /** Totals frame over live manifests where the LAST dir was just written
+    * from `fresh`: pre-existing dirs read their (small) JSON files; the
+    * new version aggregates the in-memory frame that produced its file —
+    * the totals job never re-reads data the same commit just wrote.
+    * Columns are pinned to [[manifestTotalsSchema]]; generic manifests
+    * carry no token_count and contribute null there, exactly as the JSON
+    * read would.
+    */
+  private[table] def manifestTotalsWithFresh(
+      spark: SparkSession, tableDir: String,
+      oldDirs: Seq[String], fresh: DataFrame): DataFrame = {
+    val freshCols = fresh.columns.toSet
+    val freshTot = fresh.select(manifestTotalsSchema.fields.toIndexedSeq.map(f =>
+      (if (freshCols(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)): _*)
+    if (oldDirs.isEmpty) freshTot
+    else readManifestTotals(spark, tableDir, oldDirs).unionByName(freshTot)
+  }
 
   /** Key-span projection for version pruning (same pinned-schema idiom). */
   private[graft] val manifestSpanSchema = StructType(Seq(
@@ -925,17 +947,20 @@ object GraftTable {
 
     val dataDir = s"data/v$ver"
     blocks.write.mode("overwrite").parquet(s"$tableDir/$dataDir")
+    // persisted across the JSON write and the totals aggregate: one pass
+    // over the written blocks, and totals never re-read this version
     val manifest = manifestOf(spark, s"$tableDir/$dataDir")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val manifestDir = s"manifests/v$ver"
-    manifest.write.mode("overwrite").json(s"$tableDir/$manifestDir")
-
     val manifestDirs = p.manifestDirs :+ manifestDir
     val dataDirs = p.dataDirs :+ dataDir
-    val all = readManifestTotals(spark, tableDir, manifestDirs)
-    val tot = all.agg(
-      count(lit(1)).as("blocks"), sum("row_count").as("rows"),
-      sum("token_count").as("tokens"), sum("bytes_total").as("bytes"),
-      sum("plain_bytes").as("plain"), expr("bit_xor(block_sig)").as("sig")).head()
+    val tot = try {
+      manifest.write.mode("overwrite").json(s"$tableDir/$manifestDir")
+      manifestTotalsWithFresh(spark, tableDir, p.manifestDirs, manifest).agg(
+        count(lit(1)).as("blocks"), sum("row_count").as("rows"),
+        sum("token_count").as("tokens"), sum("bytes_total").as("bytes"),
+        sum("plain_bytes").as("plain"), expr("bit_xor(block_sig)").as("sig")).head()
+    } finally { manifest.unpersist(false); () }
 
     val combinedFp = Hashing.sha256Hex(s"${p.inputFingerprint}+${stats.fingerprint}")
     val contentSig = f"${tot.getLong(5)}%016x"
@@ -1033,17 +1058,19 @@ object GraftTable {
 
     val dataDir = s"data/v$ver"
     blocks.write.mode("overwrite").parquet(s"$tableDir/$dataDir")
+    // persisted across the JSON write and the totals aggregate (see append)
     val manifest = manifestOf(spark, s"$tableDir/$dataDir")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val manifestDir = s"manifests/v$ver"
-    manifest.write.mode("overwrite").json(s"$tableDir/$manifestDir")
-
     val manifestDirs = keepMan :+ manifestDir
     val dataDirs = keepData :+ dataDir
-    val all = readManifestTotals(spark, tableDir, manifestDirs)
-    val tot = all.agg(
-      count(lit(1)).as("blocks"), sum("row_count").as("rows"),
-      sum("token_count").as("tokens"), sum("bytes_total").as("bytes"),
-      sum("plain_bytes").as("plain"), expr("bit_xor(block_sig)").as("sig")).head()
+    val tot = try {
+      manifest.write.mode("overwrite").json(s"$tableDir/$manifestDir")
+      manifestTotalsWithFresh(spark, tableDir, keepMan, manifest).agg(
+        count(lit(1)).as("blocks"), sum("row_count").as("rows"),
+        sum("token_count").as("tokens"), sum("bytes_total").as("bytes"),
+        sum("plain_bytes").as("plain"), expr("bit_xor(block_sig)").as("sig")).head()
+    } finally { manifest.unpersist(false); () }
 
     val combinedFp = Hashing.sha256Hex(s"${p.inputFingerprint};compact=v$ver")
     val contentSig = f"${tot.getLong(5)}%016x"
