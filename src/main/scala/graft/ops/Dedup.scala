@@ -474,8 +474,15 @@ object Dedup {
     val gate = ClustersDriverEdgeMax
     var converged =
       if (gate > 0L) {
-        val directed = edges.count()
-        if (directed > 0L && directed <= gate)
+        // one job yields both gate inputs: the row count AND the raw id
+        // character volume — long ids (URLs, hex digests) must not slip
+        // past a row-only gate into an oversized driver collect
+        val m = edges.agg(count(lit(1)),
+          sum((length(col("v")) + length(col("w"))).cast("long"))).head()
+        val directed = m.getLong(0)
+        val idChars = if (m.isNullAt(1)) 0L else m.getLong(1)
+        if (directed > 0L && directed <= gate &&
+            idChars <= ClustersDriverCharMax)
           return driverClusters(docs.sparkSession, edges.collect(), ids)
         directed == 0L
       } else edges.isEmpty // no edges → nothing to propagate
@@ -528,11 +535,17 @@ object Dedup {
     val clustered = labels.join(sizes, "lbl")
       .select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
         col("cluster_size"), (col("v") === col("lbl")).as("is_canonical"))
-    val singles = ids.join(labels.select(col("v")), Seq("v"), "left_anti")
+    clustered.unionAll(singletonRows(ids, labels.select(col("v"))))
+  }
+
+  /** Singleton clusters for every id absent from `paired` (one column
+    * `v`): shared by the driver and distributed [[clusters]] paths so
+    * their singleton semantics cannot diverge.
+    */
+  private def singletonRows(ids: DataFrame, paired: DataFrame): DataFrame =
+    ids.join(paired, Seq("v"), "left_anti")
       .select(col("v").as("doc_id"), col("v").as("cluster_id"),
         lit(1L).as("cluster_size"), lit(true).as("is_canonical"))
-    clustered.unionAll(singles)
-  }
 
   /** Max directed-edge rows for [[clusters]]' driver-side union-find path
     * (default 2^20 ≈ 1M rows of short ids, tens of MB — the same order as
@@ -543,6 +556,14 @@ object Dedup {
     */
   private[ops] def ClustersDriverEdgeMax: Long =
     sys.props.get("graft.clusters.driverEdgeMax").map(_.toLong).getOrElse(1L << 20)
+
+  /** Companion byte-ish budget for the same gate: total id CHARACTERS
+    * across the directed edge list (default 2^25 ≈ 33M chars — ~64 MB as
+    * UTF-16 plus per-Row overhead, transient). Protects drivers from
+    * long-id corpora (URLs, content digests) that pass the row gate.
+    */
+  private[ops] def ClustersDriverCharMax: Long =
+    sys.props.get("graft.clusters.driverCharMax").map(_.toLong).getOrElse(1L << 25)
 
   /** Driver-side exact connected components for edge lists small enough
     * to collect (≤ [[ClustersDriverEdgeMax]] directed rows). Union-find
@@ -608,11 +629,8 @@ object Dedup {
     }
     val clustered = spark.createDataFrame(out.toIndexedSeq)
       .toDF("doc_id", "cluster_id", "cluster_size", "is_canonical")
-    val singles = ids
-      .join(clustered.select(col("doc_id").as("v")), Seq("v"), "left_anti")
-      .select(col("v").as("doc_id"), col("v").as("cluster_id"),
-        lit(1L).as("cluster_size"), lit(true).as("is_canonical"))
-    clustered.unionAll(singles)
+    clustered.unionAll(
+      singletonRows(ids, clustered.select(col("doc_id").as("v"))))
   }
 
   /** Changed-label count from the generation's observed metric. The

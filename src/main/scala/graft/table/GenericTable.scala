@@ -745,10 +745,13 @@ object GenericTable {
           val dataDir = writeBlocksVersion(
             withBlocks, tableDir, ver, leaves, bounds.length + 1, nRows)
           val manifestDir = s"manifests/v$ver"
-          // persisted across the JSON write and the totals aggregate
+          // persisted across the JSON write and the totals aggregate; a
+          // failed write must not leak the cached frame (the totals
+          // try/finally below is not yet in scope here)
           val mf = manifestOf(spark, s"$tableDir/$dataDir", leaves.length)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          mf.write.mode("overwrite").json(s"$tableDir/$manifestDir")
+          try mf.write.mode("overwrite").json(s"$tableDir/$manifestDir")
+          catch { case t: Throwable => mf.unpersist(false); throw t }
           (keepData :+ dataDir, keepMan :+ manifestDir, bounds.length + 1L, Some(mf))
         }
       val tot = try {

@@ -119,22 +119,25 @@ object Stats {
 
     // Both sampled stats in ONE job and one scan: posexplode feeds the
     // token-distinct sketch, and the adjacency sums ride the pos==0 row
-    // of each document (evaluated once per row exactly as a dedicated
-    // pass would — rows with empty token arrays are dropped by the
-    // explode but contribute 0 pairs by definition). Aggregation values
-    // are order-independent (HLL merge, sums), so the result is
+    // of each document (rows with empty token arrays are dropped by the
+    // explode but contribute 0 pairs by definition). The adjacency
+    // expressions are evaluated in the projection BELOW the generator —
+    // once per document — so only two longs (not the tokens array)
+    // cross the explode into the aggregate's row buffer. Aggregation
+    // values are order-independent (HLL merge, sums), so the result is
     // identical to the former two-job formulation at any layout — and
     // with a single consumer the sample no longer needs a persist.
     // rsd 0.05 (HLL default): the only consumer is the dict-cap gate
     // (65536), where ±5% is ample — rsd 0.01 costs ~3× per update.
     val srow = timed("stats-sample")(sample
-      .select(col("tokens"), col("n_tok"), posexplode(col("tokens")))
+      .select(adjPairs.as("ap"),
+        greatest(col("n_tok").cast("long") - 1L, lit(0L)).as("pr"),
+        posexplode(col("tokens")))
+      .select(col("pos"), col("col"), col("ap"), col("pr"))
       .agg(
         approx_count_distinct(col("col"), 0.05).as("td"),
-        sum(when(col("pos") === 0, adjPairs).otherwise(lit(0L))).as("adj"),
-        sum(when(col("pos") === 0,
-          greatest(col("n_tok").cast("long") - 1L, lit(0L)))
-          .otherwise(lit(0L))).as("pairs"))
+        sum(when(col("pos") === 0, col("ap")).otherwise(lit(0L))).as("adj"),
+        sum(when(col("pos") === 0, col("pr")).otherwise(lit(0L))).as("pairs"))
       .head())
     val tokDistinct = srow.getLong(0)
     val adjFrac =
